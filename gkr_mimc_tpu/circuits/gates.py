@@ -1,0 +1,155 @@
+"""Gate zoo for the layered GKR circuit model.
+
+Parity with circuit/gates.go:9-21 plus circuit/gates/{cipher,copy,add,mul}.go.
+TPU-native twist: a gate is a *static* type (so jit specializes on it) whose
+parameters (e.g. the cipher Ark) are *traced* tensors — all 91 MiMC cipher
+layers share one compiled sumcheck/eval kernel instead of retracing per Ark.
+
+The reference's legacy AddGate/MulGate (circuit/gates/add.go:9-43,
+circuit/gates/mul.go:9-41) are modernized here to the current interface.
+"""
+
+from __future__ import annotations
+
+from ..fields import fr, scalar
+
+
+class Gate:
+    """degree: the gate's degree in hPrime (circuit/gates.go:19-20)."""
+
+    name: str = "Gate"
+    degree: int = 1
+    arity: int = 2
+
+    def params(self):
+        """Traced parameter pytree (passed through jit boundaries)."""
+        return ()
+
+    def eval_batch(self, params, xs):
+        """xs: list of (16, *S) Montgomery tensors -> (16, *S)."""
+        raise NotImplementedError
+
+    def eval_scalar(self, xs):
+        """Host oracle on Python ints."""
+        raise NotImplementedError
+
+    # jit specialization key: gates of the same type compile once —
+    # parameters (e.g. Ark) are traced, so e.g. all 91 cipher layers share
+    # one compiled kernel.
+    def static_key(self):
+        return (type(self).__name__,)
+
+    def __hash__(self):
+        return hash(self.static_key())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self.static_key() == other.static_key()
+
+
+class CipherGate(Gate):
+    """(vL + vR + Ark)^7 — one MiMC round (circuit/gates/cipher.go:10-70)."""
+
+    name = "CipherGate"
+    degree = 7
+
+    def __init__(self, ark: int):
+        self.ark = ark % scalar.P
+        self._params = None
+
+    def params(self):
+        if self._params is None:
+            self._params = (fr.from_int_mont(self.ark),)
+        return self._params
+
+    def eval_batch(self, params, xs):
+        (ark,) = params
+        a = ark.reshape((fr.L,) + (1,) * (xs[0].ndim - 1))
+        return fr.pow7(fr.add(fr.add(xs[1], a), xs[0]))
+
+    def eval_scalar(self, xs):
+        return scalar.pow7(scalar.add(scalar.add(xs[1], self.ark), xs[0]))
+
+
+class IdentityGate(Gate):
+    """Copies vL; the explicit multi-instance fan-out gate
+    (circuit/gates/copy.go:9-32)."""
+
+    name = "IdentityGate"
+    degree = 1
+    arity = 1
+
+    def eval_batch(self, params, xs):
+        return xs[0]
+
+    def eval_scalar(self, xs):
+        return xs[0]
+
+
+class AddGate(Gate):
+    """vL + vR (modernized from circuit/gates/add.go:9-43)."""
+
+    name = "AddGate"
+    degree = 1
+
+    def eval_batch(self, params, xs):
+        return fr.add(xs[0], xs[1])
+
+    def eval_scalar(self, xs):
+        return scalar.add(xs[0], xs[1])
+
+
+class MulGate(Gate):
+    """vL * vR (modernized from circuit/gates/mul.go:9-41)."""
+
+    name = "MulGate"
+    degree = 2
+
+    def eval_batch(self, params, xs):
+        return fr.mul(xs[0], xs[1])
+
+    def eval_scalar(self, xs):
+        return scalar.mul(xs[0], xs[1])
+
+
+class SBoxGate(Gate):
+    """vL^7 on a single input — used by the GMiMC/Poseidon GKR circuits
+    (no reference analog; those hashes have no circuit in the reference)."""
+
+    name = "SBoxGate"
+    degree = 7
+    arity = 1
+
+    def eval_batch(self, params, xs):
+        return fr.pow7(xs[0])
+
+    def eval_scalar(self, xs):
+        return scalar.pow7(xs[0])
+
+
+class AffineGate(Gate):
+    """c0*vL + c1*vR + c2 — general linear-combination gate used to express
+    MDS rows / ark additions for Poseidon-style circuits."""
+
+    name = "AffineGate"
+    degree = 1
+
+    def __init__(self, c0: int, c1: int, c2: int = 0):
+        self.c0, self.c1, self.c2 = c0 % scalar.P, c1 % scalar.P, c2 % scalar.P
+
+    def params(self):
+        return (
+            fr.from_int_mont(self.c0),
+            fr.from_int_mont(self.c1),
+            fr.from_int_mont(self.c2),
+        )
+
+    def eval_batch(self, params, xs):
+        c0, c1, c2 = (p.reshape((fr.L,) + (1,) * (xs[0].ndim - 1)) for p in params)
+        t = fr.add(fr.mul(c0, xs[0]), fr.mul(c1, xs[1]))
+        return fr.add(t, c2)
+
+    def eval_scalar(self, xs):
+        return scalar.add(
+            scalar.add(scalar.mul(self.c0, xs[0]), scalar.mul(self.c1, xs[1])),
+            self.c2,
+        )

@@ -1,0 +1,420 @@
+"""TPU-native BN254 fr arithmetic on 16x16-bit limbs in uint32 lanes.
+
+Design (TPU-first, not a port):
+
+* A batch of field elements is a single ``uint32`` tensor of shape
+  ``(16, *batch)`` — **limb-major** so every limb plane is a contiguous
+  vector over the batch (hypercube) axis; the batch axes are also the
+  sharding axes for multi-chip meshes.
+
+* Elements are kept in **Montgomery form** (radix R = 2**256), matching
+  gnark-crypto's `fr.Element` *values* (the reference uses it everywhere,
+  e.g. /root/reference/poly/multilin.go:8); the internal radix (16x16 vs
+  4x64) is free to differ since only values hit the transcript.
+
+* Multiplication pipeline (all exact):
+    1. outer product of limbs (one vector multiply; 16x16->32-bit products
+       are exact in uint32 lanes), split into lo/hi 16-bit halves;
+    2. column reduction and the two Montgomery constant products (by -p^-1
+       mod R and by p) as **constant-matrix f32 matmuls** (operands < 2**16
+       / < 2**8, accumulations < 2**24: exact in f32, and they ride the MXU
+       on TPU with Precision.HIGHEST);
+    3. carry normalization via a two-pass split + Kogge-Stone carry
+       lookahead — O(log L) depth vector ops, no sequential limb chains.
+
+* Invariant at every public-API boundary: limbs < 2**16, canonical (< p).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .bn254 import (
+    L,
+    MASK,
+    NPRIME,
+    P,
+    P_LIMBS,
+    R1,
+    R2_LIMBS,
+    W,
+    int_to_limbs,
+    limbs_to_int,
+)
+
+U32 = jnp.uint32
+F32 = jnp.float32
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# ---------------------------------------------------------------------------
+# Constant matrices (built once, host-side)
+# ---------------------------------------------------------------------------
+
+
+def _limbs8(x: int, n: int) -> list[int]:
+    return [(x >> (8 * i)) & 0xFF for i in range(n)]
+
+
+def _build_colred() -> np.ndarray:
+    """(2L, 2*L*L) 0/1 matrix: maps [lo(i,j); hi(i,j)] -> column sums
+    cols[k] = sum_{i+j=k} lo[i,j] + sum_{i+j+1=k} hi[i,j]."""
+    m = np.zeros((2 * L, 2 * L * L), dtype=np.float32)
+    for i in range(L):
+        for j in range(L):
+            m[i + j, i * L + j] = 1.0
+            m[i + j + 1, L * L + i * L + j] = 1.0
+    return m
+
+
+def _build_shift8(const_limbs8: list[int], n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) matrix of the 8-bit schoolbook with a constant:
+    out[k] = sum_i in[i] * c8[k - i]."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_in):
+        for k in range(n_out):
+            d = k - i
+            if 0 <= d < len(const_limbs8):
+                m[k, i] = const_limbs8[d]
+    return m
+
+
+_COLRED = _build_colred()
+_NP8 = _build_shift8(_limbs8(NPRIME, 2 * L), 2 * L, 2 * L)  # m = T_lo * N' mod R
+_P8 = _build_shift8(_limbs8(P, 2 * L), 4 * L, 2 * L)  # m * p (8-bit cols)
+
+# max column value of _NP8 @ x with x < 256: bounded by 32 * 255 * 255 < 2**21
+# max column value of _P8  @ x with x < 256: same bound.
+
+
+def _cmatmul(m: np.ndarray, x):
+    """Constant-matrix product over the leading axis: (K_out, K_in) x
+    (K_in, *S) -> (K_out, *S), f32, exact for our integer ranges."""
+    s = x.shape[1:]
+    y = jax.lax.dot_general(
+        jnp.asarray(m),
+        x.reshape((x.shape[0], -1)),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=_HIGHEST,
+        preferred_element_type=F32,
+    )
+    return y.reshape((m.shape[0],) + s)
+
+
+# ---------------------------------------------------------------------------
+# Carry normalization (vectorized, log-depth)
+# ---------------------------------------------------------------------------
+
+
+def _shift_up(x, d, fill=None):
+    """out[k] = x[k-d] along axis 0 (zeros/False below)."""
+    if d == 0:
+        return x
+    pad = jnp.zeros((d,) + x.shape[1:], dtype=x.dtype)
+    if fill is not None:
+        pad = jnp.full((d,) + x.shape[1:], fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _carry_norm(cols, bound_bits: int, width: int = W):
+    """Exact carry normalization of redundant columns.
+
+    cols: (K, *S) uint32, each column < 2**bound_bits (<= 31).
+    Returns (K, *S) with every limb < 2**width. The carry out of the top
+    column is DROPPED — callers must guarantee the value fits in K limbs.
+
+    Two masked-split passes shrink columns to <= 2**width, then a
+    Kogge-Stone carry-lookahead resolves the remaining 0/1 ripple in
+    O(log K) vector steps.
+    """
+    mask = np.uint32((1 << width) - 1)
+    bound = (1 << bound_bits) - 1
+    x = cols
+    while bound > (1 << width):
+        x = (x & mask) + _shift_up(x >> width, 1)
+        bound = ((1 << width) - 1) + (bound >> width)
+    # columns <= 2**width; generate/propagate for the final ripple
+    g = (x >> width).astype(jnp.bool_)  # in {0,1}
+    p = (x & mask) == mask
+    # exclusive prefix of (g, p) via Kogge-Stone
+    carry = _shift_up(g, 1)
+    prop = _shift_up(p, 1)
+    d = 1
+    k = x.shape[0]
+    while d < k:
+        carry = carry | (prop & _shift_up(carry, d))
+        prop = prop & _shift_up(prop, d)
+        d *= 2
+    return (x + carry.astype(U32)) & mask
+
+
+def _carry_norm_with_msb(cols, bound_bits: int):
+    """Like _carry_norm but also returns the carry out of the top column
+    (0 or 1) — used for >= comparisons via two's-complement adds."""
+    ext = jnp.concatenate(
+        [cols, jnp.zeros((1,) + cols.shape[1:], dtype=cols.dtype)], axis=0
+    )
+    out = _carry_norm(ext, bound_bits)
+    return out[:-1], out[-1]
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion
+# ---------------------------------------------------------------------------
+
+
+def encode_int(x: int) -> np.ndarray:
+    """Standard-form (non-Montgomery) limbs of ``x mod P`` as (16,)."""
+    return np.array(int_to_limbs(x % P), dtype=np.uint32)
+
+
+def encode_ints(xs) -> np.ndarray:
+    out = np.empty((L, len(xs)), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        out[:, i] = encode_int(x)
+    return out
+
+
+def encode_mont_int(x: int) -> np.ndarray:
+    return np.array(int_to_limbs((x % P) * R1 % P), dtype=np.uint32)
+
+
+def encode_mont_ints(xs) -> np.ndarray:
+    out = np.empty((L, len(xs)), dtype=np.uint32)
+    for i, x in enumerate(xs):
+        out[:, i] = encode_mont_int(x)
+    return out
+
+
+def encode_uint64_array(vals: np.ndarray) -> np.ndarray:
+    """Vectorized standard-form limbs for a numpy uint64 array (any shape) —
+    bulk input path (the reference's deterministic RandomFrArray inputs are
+    uint64, common/common.go:49-55)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    out = np.zeros((L,) + vals.shape, dtype=np.uint32)
+    for i in range(4):
+        out[i] = ((vals >> np.uint64(W * i)) & np.uint64(MASK)).astype(np.uint32)
+    return out
+
+
+def decode_ints(arr) -> list[int]:
+    arr = np.asarray(arr)
+    flat = arr.reshape(L, -1)
+    return [limbs_to_int(flat[:, i]) for i in range(flat.shape[1])]
+
+
+def const_mont(x: int, batch_ndim: int = 0) -> jnp.ndarray:
+    limbs = np.array(int_to_limbs(x * R1 % P), dtype=np.uint32)
+    return jnp.asarray(limbs.reshape((L,) + (1,) * batch_ndim))
+
+
+def zeros(batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((L,) + tuple(batch_shape), dtype=U32)
+
+
+def one(batch_shape=()) -> jnp.ndarray:
+    limbs = np.array(int_to_limbs(R1), dtype=np.uint32)
+    return jnp.broadcast_to(
+        jnp.asarray(limbs.reshape((L,) + (1,) * len(tuple(batch_shape)))),
+        (L,) + tuple(batch_shape),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public arithmetic
+# ---------------------------------------------------------------------------
+
+# C[k] = (MASK ^ P_LIMBS[k]) + (k == 0): adding it == subtracting p (mod R)
+_NEGP = np.array(
+    [(MASK ^ P_LIMBS[k]) + (1 if k == 0 else 0) for k in range(L)], dtype=np.uint32
+).reshape((L,) + ())
+
+
+def _negp(batch_ndim):
+    return jnp.asarray(_NEGP.reshape((L,) + (1,) * batch_ndim))
+
+
+def _cond_sub_p(a):
+    """Canonicalize a 16-limb value < 2p."""
+    cols = a + _negp(a.ndim - 1)  # <= 2**17
+    s, ge = _carry_norm_with_msb(cols, 17)
+    ge = ge.astype(jnp.bool_)
+    return jnp.where(ge[None], s, a)
+
+
+def add(a, b):
+    """Canonical modular addition; broadcasts over batch axes."""
+    cols = a + b  # <= 2**17; a+b < 2p < 2**256 so top carry is 0
+    return _cond_sub_p(_carry_norm(cols, 17))
+
+
+def sub(a, b):
+    """Canonical modular subtraction; broadcasts over batch axes."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    bb = jnp.broadcast_to(b, shape)
+    aa = jnp.broadcast_to(a, shape)
+    negb = (np.uint32(MASK) ^ bb) + jnp.asarray(
+        np.array([1] + [0] * (L - 1), dtype=np.uint32).reshape((L,) + (1,) * (len(shape) - 1))
+    )
+    d, no_borrow = _carry_norm_with_msb(aa + negb, 18)
+    dp = _carry_norm(d + jnp.asarray(np.array(P_LIMBS, dtype=np.uint32).reshape((L,) + (1,) * (len(shape) - 1))), 17)
+    return jnp.where(no_borrow.astype(jnp.bool_)[None], d, dp)
+
+
+def neg(a):
+    return sub(zeros(a.shape[1:]), a)
+
+
+def _split8(limbs16):
+    """(K, *S) 16-bit limbs -> (2K, *S) interleaved 8-bit pieces (f32)."""
+    lo = limbs16 & np.uint32(0xFF)
+    hi = limbs16 >> 8
+    st = jnp.stack([lo, hi], axis=1)  # (K, 2, *S)
+    return st.reshape((2 * limbs16.shape[0],) + limbs16.shape[1:]).astype(F32)
+
+
+def mul(a, b):
+    """Montgomery product REDC(a*b); canonical output. Broadcasts."""
+    # 1. limb outer product: one vector multiply, exact 32-bit products.
+    prod = a[:, None] * b[None, :]  # (16, 16, *S)
+    s = prod.shape[2:]
+    lo = (prod & MASK).astype(F32).reshape((L * L,) + s)
+    hi = (prod >> W).astype(F32).reshape((L * L,) + s)
+    stacked = jnp.concatenate([lo, hi], axis=0)  # (512, *S)
+    t_cols = _cmatmul(_COLRED, stacked).astype(U32)  # (32, *S) cols < 2**21
+    t = _carry_norm(t_cols, 21)  # T = a*b, 32 limbs < 2**16 (T < p^2)
+
+    # 2. m = (T mod R) * (-p^-1) mod R — 8-bit constant matmul.
+    m8_cols = _cmatmul(_NP8, _split8(t[:L])).astype(U32)  # (32,) 8-bit cols < 2**21
+    m8 = _carry_norm(m8_cols, 21, width=8)  # exact m, 32 8-bit limbs
+
+    # 3. T + m*p, then >> 256.
+    mp8 = _cmatmul(_P8, m8.astype(F32)).astype(U32)  # (64, *S) 8-bit cols < 2**21
+    mp16 = mp8.reshape((2 * L, 2) + s)
+    mp_cols = mp16[:, 0] + (mp16[:, 1] << 8)  # (32, *S) 16-bit cols < 2**30
+    tot = _carry_norm(mp_cols + t, 31)  # (T + m*p) < 2**510: fits 32 limbs
+    return _cond_sub_p(tot[L:])
+
+
+def square(a):
+    return mul(a, a)
+
+
+def pow7(a):
+    """x^7 via the reference S-box chain (hash/poseidon.go:129-135)."""
+    x2 = square(a)
+    x3 = mul(x2, a)
+    x6 = square(x3)
+    return mul(x6, a)
+
+
+def to_mont(a_std):
+    r2 = jnp.asarray(
+        np.array(R2_LIMBS, dtype=np.uint32).reshape((L,) + (1,) * (a_std.ndim - 1))
+    )
+    return mul(a_std, r2)
+
+
+def from_mont(a):
+    one_std = jnp.zeros((L,) + (1,) * (a.ndim - 1), dtype=U32).at[0].set(1)
+    return mul(a, one_std)
+
+
+def eq(a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(pred, a, b):
+    return jnp.where(jnp.asarray(pred)[None], a, b)
+
+
+def _redc_wide(cols):
+    """REDC of a redundant 16-column value (cols < 2**31, i.e. the raw
+    uint32 sum of up to 2**15 canonical elements): returns the canonical
+    16-limb representative of  value * R^-1  mod p.
+
+    Used by reduce_sum: summing Montgomery elements gives (sum)*R; REDC
+    drops to plain form and a final multiply by R^2 restores Montgomery.
+    """
+    v, o = _carry_norm_with_msb(cols, 31)  # value = v + o*2**256, o < 2**16
+    # m = (value mod R) * (-p^-1) mod R
+    m8_cols = _cmatmul(_NP8, _split8(v)).astype(U32)
+    m8 = _carry_norm(m8_cols, 21, width=8)
+    # tot = value + m*p  (multiple of R); result = tot >> 256 < p + 2**16
+    mp8 = _cmatmul(_P8, m8.astype(F32)).astype(U32)
+    s = cols.shape[1:]
+    mp16 = mp8.reshape((2 * L, 2) + s)
+    mp_cols = mp16[:, 0] + (mp16[:, 1] << 8)  # (32,) < 2**30
+    vcols = jnp.concatenate(
+        [v, o[None], jnp.zeros((L - 1,) + s, dtype=U32)], axis=0
+    )
+    tot = _carry_norm(mp_cols + vcols, 31)
+    return _cond_sub_p(tot[L:])
+
+
+def _r2_tensor(batch_ndim):
+    return jnp.asarray(
+        np.array(R2_LIMBS, dtype=np.uint32).reshape((L,) + (1,) * batch_ndim)
+    )
+
+
+def reduce_sum(x, axis):
+    """Modular sum along batch axis `axis` (0 == tensor axis 1).
+
+    Strategy: raw uint32 chunk sums (exact while chunk <= 2**15 since
+    canonical limbs < 2**16), one wide REDC + R^2 multiply to return to
+    canonical Montgomery form, then a small pairwise modular tree for the
+    remaining factor. One pass over the data instead of log(n)."""
+    ax = axis + 1
+    n = x.shape[ax]
+    # largest power-of-two chunk <= 2**15 dividing n
+    c = 1
+    while n % (c * 2) == 0 and (c * 2) <= (1 << 15):
+        c *= 2
+    if c > 4:
+        xs = x.reshape(x.shape[:ax] + (n // c, c) + x.shape[ax + 1 :])
+        raw = jnp.sum(xs, axis=ax + 1, dtype=U32)  # cols < 2**31
+        # normalize each redundant column vector back to Montgomery form
+        plain = _redc_wide(raw.reshape((L, -1))).reshape(raw.shape)
+        x = mul(plain, _r2_tensor(x.ndim - 1))
+        n = n // c
+    while n > 1:
+        half = n // 2
+        lo = jax.lax.slice_in_dim(x, 0, half, axis=ax)
+        hi = jax.lax.slice_in_dim(x, half, 2 * half, axis=ax)
+        s = add(lo, hi)
+        if n % 2:
+            rest = jax.lax.slice_in_dim(x, 2 * half, n, axis=ax)
+            s = jnp.concatenate([s, rest], axis=ax)
+            n = half + 1
+        else:
+            n = half
+        x = s
+    return jnp.squeeze(x, axis=ax)
+
+
+# ---------------------------------------------------------------------------
+# Host-side decode of Montgomery tensors (tests / transcripts)
+# ---------------------------------------------------------------------------
+
+
+def to_ints(a) -> list[int]:
+    """Montgomery limb tensor (16, *S) -> canonical ints, entirely on host
+    (device_get + Python-int decode; never dispatches device ops)."""
+    from .bn254 import RINV
+
+    arr = np.asarray(jax.device_get(a)).reshape(L, -1)
+    return [limbs_to_int(arr[:, i]) * RINV % P for i in range(arr.shape[1])]
+
+
+def to_int(a) -> int:
+    return to_ints(a)[0]
+
+
+def from_ints_mont(xs) -> jnp.ndarray:
+    return jnp.asarray(encode_mont_ints(xs))
+
+
+def from_int_mont(x: int) -> jnp.ndarray:
+    return jnp.asarray(encode_mont_int(x))

@@ -1,0 +1,96 @@
+"""GKR prover: the output->input layer walk.
+
+Parity with gkr/prover.go:21-91: walk layers from the output down to the
+first non-input layer; per layer run one (multi-claim) sumcheck over the
+layer's input tables; scatter each final claim + the next qPrime into the
+consumer slot of the producing layer (slots ordered by the sorted Out list).
+
+TPU-native shape: each per-layer sumcheck is a single jitted device program
+(see sumcheck/prover.py); the walk is a Python loop that only shuffles tiny
+(16,)-sized claim tensors between dispatches, so the device pipeline never
+drains. The reference's copy-on-reuse of input tables
+(circuit/assignment.go:46-53) disappears: tables are functional values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..circuits.circuit import Circuit
+from ..fields import fr
+from ..sumcheck import prover as sumcheck_prover
+from ..sumcheck.prover import SumcheckProof
+
+
+@dataclass
+class GKRProof:
+    """Indexed [layer]; entries are None for input layers.
+
+    sumcheck_proofs[l]: SumcheckProof for layer l
+    claims[l]:          (J_l, 16) Montgomery rows, J_l = len(out) claims
+                        (empty (0,16) for the output layer: the verifier
+                        recomputes the output claim itself,
+                        gkr/verifier.go:35-37)
+    qprimes[l]:         (J_l, bn, 16) Montgomery rows
+    """
+
+    sumcheck_proofs: list[Optional[SumcheckProof]]
+    claims: list[Optional[jnp.ndarray]]
+    qprimes: list[Optional[jnp.ndarray]]
+
+
+def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
+    """assignment: list of (16, N) tables (from circuits.assign);
+    qprime: (bn, 16) Montgomery rows — the initial evaluation point."""
+    nlayers = len(circuit)
+    bn = qprime.shape[0]
+
+    # slot -> value stores, one slot per consumer of each layer
+    claim_store: list[list] = [[None] * len(l.out) for l in circuit]
+    qprime_store: list[list] = [[None] * len(l.out) for l in circuit]
+
+    proofs: list[Optional[SumcheckProof]] = [None] * nlayers
+    claims_out: list[Optional[jnp.ndarray]] = [None] * nlayers
+    qprimes_out: list[Optional[jnp.ndarray]] = [None] * nlayers
+
+    # output layer: a single qPrime, no claims (gkr/prover.go:31)
+    qprimes_out[nlayers - 1] = jnp.asarray(qprime)[None]
+    claims_out[nlayers - 1] = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+
+    for layer in range(nlayers - 1, -1, -1):
+        if circuit.is_input_layer(layer):
+            break
+
+        if layer == nlayers - 1:
+            qprimes = qprimes_out[layer]
+            claims = None
+        else:
+            qprimes = jnp.stack(qprime_store[layer], axis=0)
+            claim_rows = jnp.stack(claim_store[layer], axis=0)  # (J, 16)
+            claims = jnp.moveaxis(claim_rows, -1, 0)  # (16, J) for the prover
+            qprimes_out[layer] = qprimes
+            claims_out[layer] = claim_rows
+
+        xs = [assignment[j] for j in circuit[layer].in_]
+        scp = sumcheck_prover.prove(xs, qprimes, claims, circuit[layer].gate)
+        proofs[layer] = scp
+
+        next_qprime = scp.challenges  # (bn, 16)
+        for i, inp in enumerate(circuit[layer].in_):
+            slot = circuit.out_slot(inp, layer)
+            claim_store[inp][slot] = scp.final_claims[1 + i]
+            qprime_store[inp][slot] = next_qprime
+
+    # materialize claims/qprimes for input layers (needed by the verifier's
+    # final input checks, gkr/verifier.go:120-132)
+    for layer in range(nlayers):
+        if not circuit.is_input_layer(layer):
+            continue
+        if claim_store[layer] and claim_store[layer][0] is not None:
+            claims_out[layer] = jnp.stack(claim_store[layer], axis=0)
+            qprimes_out[layer] = jnp.stack(qprime_store[layer], axis=0)
+
+    return GKRProof(proofs, claims_out, qprimes_out)

@@ -1,0 +1,111 @@
+"""MiMC (91 rounds, x^7 S-box, Miyaguchi-Preneel) over BN254 fr.
+
+Semantics parity with the reference hash/mimc.go:8-49:
+  * keyed permutation: res = x; 91x: res = (res + key + Ark[i])^7
+  * block cipher:      E_k(x) = Perm_k(x) + k
+  * hash update:       state' = state + E_state(block) + block
+  * MimcHash: chain updates from state 0.
+
+MimcHash doubles as the Fiat-Shamir challenge function
+(common/challenge.go:10-12), so the device version below runs *inside* the
+sumcheck jit: transcript hashing never leaves the TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import fr, scalar
+from .ark import ARKS_INT, arks_scan_tensor
+
+MIMC_ROUNDS = 91
+
+# ---------------------------------------------------------------------------
+# Scalar (host oracle)
+# ---------------------------------------------------------------------------
+
+
+def mimc_keyed_permutation(x: int, key: int) -> int:
+    res = x
+    for i in range(MIMC_ROUNDS):
+        res = scalar.pow7(scalar.add(scalar.add(res, key), ARKS_INT[i]))
+    return res
+
+
+def mimc_block_cipher(msg: int, key: int) -> int:
+    return scalar.add(mimc_keyed_permutation(msg, key), key)
+
+
+def mimc_update(state: int, block: int) -> int:
+    new_state = mimc_block_cipher(block, state)
+    return scalar.add(scalar.add(state, new_state), block)
+
+
+def mimc_hash(inputs: list[int]) -> int:
+    state = 0
+    for x in inputs:
+        state = mimc_update(state, x)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Device (batched / in-jit)
+# ---------------------------------------------------------------------------
+
+
+def mimc_keyed_permutation_device(x, key):
+    """Batched keyed permutation: x, key are (16, *S) Montgomery tensors.
+
+    The 91 rounds run as a `lax.scan` over the Ark constants so the jitted
+    graph stays small; each round body is one fused (add, add, x^7) kernel.
+    """
+    batch_ndim = x.ndim - 1
+    arks = arks_scan_tensor(MIMC_ROUNDS)
+
+    def body(res, ark):
+        a = ark.reshape((fr.L,) + (1,) * batch_ndim)
+        t = fr.add(fr.add(res, key), a)
+        return fr.pow7(t), None
+
+    res, _ = jax.lax.scan(body, x, arks)
+    return res
+
+
+def mimc_update_device(state, block):
+    """One Miyaguchi-Preneel update: state' = Perm_state(block) + 2*state + block."""
+    perm = mimc_keyed_permutation_device(block, state)
+    return fr.add(fr.add(perm, fr.add(state, state)), block)
+
+
+def mimc_hash_device(msgs):
+    """Transcript hash of K field elements, msgs shape (16, K) -> (16,).
+
+    Runs as a nested scan (outer over the K message words, inner over the 91
+    rounds) so each call site traces the round body exactly once — this hash
+    sits on the sumcheck's per-round critical path and is instantiated bn
+    times per compiled layer program.
+    """
+    blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16)
+
+    def upd(state, block):
+        return mimc_update_device(state, block), None
+
+    state, _ = jax.lax.scan(upd, fr.zeros(msgs.shape[2:]), blocks)
+    return state
+
+
+def mimc_hash_batch(msgs):
+    """Row-parallel MimcHash over a batch: msgs (16, K, N) -> (16, N).
+
+    Hashes N independent K-element messages (the analog of firing the
+    reference's per-hash HashHint over a whole batch at once,
+    prover/gadget/hints.go:135-145 — but as one fused TPU scan pipeline).
+    """
+    blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16, N)
+
+    def upd(state, block):
+        return mimc_update_device(state, block), None
+
+    state, _ = jax.lax.scan(upd, fr.zeros(msgs.shape[2:]), blocks)
+    return state

@@ -1,0 +1,50 @@
+"""Sumcheck verifier (host-side, Python-int field ops).
+
+Parity with sumcheck/verifier.go:28-65. The verifier's work is O(bn * deg)
+tiny field ops plus Fiat-Shamir hashing — host scalar arithmetic is the
+right tool; only the final multilinear input evaluations (done by the GKR
+verifier) touch the device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields import scalar
+from ..poly.lagrange import eval_univariate
+from ..utils.common import get_challenge
+
+
+class SumcheckError(Exception):
+    pass
+
+
+def recombine_multi_claims(claims: list[int]) -> tuple[int, int]:
+    """-> (combined claim, recombination challenge).
+    Parity with sumcheck/verifier.go:58-65."""
+    if len(claims) < 1:
+        raise SumcheckError("no claims to recombine")
+    challenge = get_challenge(claims)
+    return eval_univariate(claims, challenge), challenge
+
+
+def verify(claims: list[int], proof: list[list[int]]):
+    """proof: per round, the (deg+2) univariate coefficients (ints).
+
+    Returns (challenges, final_claim, recomb_chal); raises SumcheckError on
+    a bad proof.
+    """
+    expected, recomb_chal = recombine_multi_claims(claims)
+
+    challenges = []
+    for i, coeffs in enumerate(proof):
+        actual = scalar.add(eval_univariate(coeffs, 0), eval_univariate(coeffs, 1))
+        if actual != expected:
+            raise SumcheckError(
+                f"round {i}: P(0)+P(1) = {actual} != expected {expected}"
+            )
+        r = get_challenge(coeffs)
+        challenges.append(r)
+        expected = eval_univariate(coeffs, r)
+
+    return challenges, expected, recomb_chal
