@@ -225,41 +225,72 @@ def one(batch_shape=()) -> jnp.ndarray:
 # Public arithmetic
 # ---------------------------------------------------------------------------
 
-# C[k] = (MASK ^ P_LIMBS[k]) + (k == 0): adding it == subtracting p (mod R)
-_NEGP = np.array(
-    [(MASK ^ P_LIMBS[k]) + (1 if k == 0 else 0) for k in range(L)], dtype=np.uint32
-).reshape((L,) + ())
+# Lazy representation: every tensor holds a representative in [0, 2p) with
+# limbs < 2**16 (2p < 2**255). REDC is closed on [0,2p) x [0,2p) -> [0,2p)
+# since (2p)^2 < R*p, so `mul` needs no trailing conditional subtraction;
+# `add`/`sub` close via a single compare-subtract against 2p. Values are
+# canonicalized ((< p)) only at protocol boundaries (proof export, device
+# equality) — host decode (`to_ints`) reduces mod p anyway.
+
+_TWOP = 2 * P
+_TWOP_LIMBS = int_to_limbs(_TWOP)
+
+# adding this == subtracting C (mod 2**256), for C in {p, 2p}
+def _negc_np(c_limbs):
+    return np.array(
+        [(MASK ^ c_limbs[k]) + (1 if k == 0 else 0) for k in range(L)],
+        dtype=np.uint32,
+    )
 
 
-def _negp(batch_ndim):
-    return jnp.asarray(_NEGP.reshape((L,) + (1,) * batch_ndim))
+_NEGP = _negc_np(P_LIMBS)
+_NEG2P = _negc_np(_TWOP_LIMBS)
+
+
+def _cond_sub(a, negc):
+    """Subtract the constant iff a >= constant (a, constant < 2**256)."""
+    cols = a + jnp.asarray(negc.reshape((L,) + (1,) * (a.ndim - 1)))  # <= 2**17
+    s, ge = _carry_norm_with_msb(cols, 17)
+    return jnp.where(ge.astype(jnp.bool_)[None], s, a)
 
 
 def _cond_sub_p(a):
-    """Canonicalize a 16-limb value < 2p."""
-    cols = a + _negp(a.ndim - 1)  # <= 2**17
-    s, ge = _carry_norm_with_msb(cols, 17)
-    ge = ge.astype(jnp.bool_)
-    return jnp.where(ge[None], s, a)
+    return _cond_sub(a, _NEGP)
+
+
+def canonicalize(a):
+    """Lazy representative [0,2p) -> canonical [0,p)."""
+    return _cond_sub(a, _NEGP)
 
 
 def add(a, b):
-    """Canonical modular addition; broadcasts over batch axes."""
-    cols = a + b  # <= 2**17; a+b < 2p < 2**256 so top carry is 0
-    return _cond_sub_p(_carry_norm(cols, 17))
+    """Modular addition on lazy representatives: (a+b) in [0, 2p)."""
+    cols = a + b  # <= 2**17; a+b < 4p < 2**257... carries overflow limb 15?
+    # a + b < 4p < 2**257: the value may exceed 2**256? 4p < 2**255.6: no.
+    s = _carry_norm(cols, 17)
+    return _cond_sub(s, _NEG2P)
+
+
+_TWOP_NP = np.array(_TWOP_LIMBS, dtype=np.uint32)
 
 
 def sub(a, b):
-    """Canonical modular subtraction; broadcasts over batch axes."""
+    """Modular subtraction on lazy representatives: result in [0, 2p).
+
+    a - b + 2p is computed in one pass: cols = a + (~b) + 2p + 1; the value
+    lies in (0, 4p) < 2**256 so the top carry is exactly the +2**256 wrap.
+    """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
+    nd = len(shape) - 1
     bb = jnp.broadcast_to(b, shape)
-    aa = jnp.broadcast_to(a, shape)
-    negb = (np.uint32(MASK) ^ bb) + jnp.asarray(
-        np.array([1] + [0] * (L - 1), dtype=np.uint32).reshape((L,) + (1,) * (len(shape) - 1))
+    c = np.array(
+        [_TWOP_LIMBS[k] + (1 if k == 0 else 0) for k in range(L)],
+        dtype=np.uint32,
     )
-    d, no_borrow = _carry_norm_with_msb(aa + negb, 18)
-    dp = _carry_norm(d + jnp.asarray(np.array(P_LIMBS, dtype=np.uint32).reshape((L,) + (1,) * (len(shape) - 1))), 17)
-    return jnp.where(no_borrow.astype(jnp.bool_)[None], d, dp)
+    cols = a + (np.uint32(MASK) ^ bb) + jnp.asarray(c.reshape((L,) + (1,) * nd))
+    # cols <= 3*(2**16 - 1) + 1 < 2**18; value = a - b + 2p + 2**256
+    s = _carry_norm(cols, 18)  # the +2**256 drops with the top carry
+    return _cond_sub(s, _NEG2P)
 
 
 def neg(a):
@@ -294,7 +325,8 @@ def mul(a, b):
     mp16 = mp8.reshape((2 * L, 2) + s)
     mp_cols = mp16[:, 0] + (mp16[:, 1] << 8)  # (32, *S) 16-bit cols < 2**30
     tot = _carry_norm(mp_cols + t, 31)  # (T + m*p) < 2**510: fits 32 limbs
-    return _cond_sub_p(tot[L:])
+    # result = (T + m*p)/R < p + (2p)^2/R < 2p: already a valid lazy rep.
+    return tot[L:]
 
 
 def square(a):
@@ -322,7 +354,8 @@ def from_mont(a):
 
 
 def eq(a, b):
-    return jnp.all(a == b, axis=0)
+    """Value equality (canonicalizes the lazy representatives first)."""
+    return jnp.all(canonicalize(a) == canonicalize(b), axis=0)
 
 
 def select(pred, a, b):
@@ -350,7 +383,7 @@ def _redc_wide(cols):
         [v, o[None], jnp.zeros((L - 1,) + s, dtype=U32)], axis=0
     )
     tot = _carry_norm(mp_cols + vcols, 31)
-    return _cond_sub_p(tot[L:])
+    return tot[L:]  # < p + V/R < 2p: valid lazy rep
 
 
 def _r2_tensor(batch_ndim):

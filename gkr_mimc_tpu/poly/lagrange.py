@@ -62,15 +62,16 @@ def interpolate_on_range(values: list[int]) -> list[int]:
 
 
 @lru_cache(maxsize=None)
-def lagrange_tensor(domain_size: int) -> jnp.ndarray:
-    """Montgomery-form Lagrange matrix as a (16, K, K) device tensor with
-    axes (limb, eval-point i, coefficient j)."""
+def lagrange_tensor_np(domain_size: int) -> np.ndarray:
+    """Montgomery-form Lagrange matrix as a (16, K, K) numpy constant with
+    axes (limb, eval-point i, coefficient j). Cached as numpy (NOT a device
+    array) so reuse inside different jit traces is safe."""
     lag = lagrange_coefficients(domain_size)
     out = np.empty((L, domain_size, domain_size), dtype=np.uint32)
     for i in range(domain_size):
         for j in range(domain_size):
             out[:, i, j] = int_to_limbs(lag[i][j] * R1 % P)
-    return jnp.asarray(out)
+    return out
 
 
 def interpolate_on_range_device(values):
@@ -78,7 +79,7 @@ def interpolate_on_range_device(values):
     from ..fields import fr
 
     k = values.shape[1]
-    lag = lagrange_tensor(k)
+    lag = jnp.asarray(lagrange_tensor_np(k))
     prods = fr.mul(values[:, :, None], lag)  # (16, K, K)
     return fr.reduce_sum(prods, 0)  # sum over eval-point axis -> (16, K)
 

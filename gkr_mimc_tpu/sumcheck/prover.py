@@ -50,13 +50,28 @@ class SumcheckProof:
     final_claims: jnp.ndarray
 
 
-def _stack_t_axis(table, n_evals):
-    """(16, n) -> (16, n_evals, n/2): evaluations of the one-variable
-    restriction at t = 0, 1, ..., n_evals-1 via incremental adds
-    (multilinearity: P(t+1, x) = P(t, x) + (P(1,x) - P(0,x)))."""
+def _split_halves(table, active_mid=None):
+    """Return (bottom, top) halves of the active region. With a traced
+    active_mid (masked tail rounds), the physical shape stays fixed and the
+    top half starts at the dynamic offset; garbage lanes beyond active_mid
+    are masked downstream."""
     mid = table.shape[-1] // 2
     bottom = table[..., :mid]
-    top = table[..., mid:]
+    if active_mid is None:
+        top = table[..., mid:]
+    else:
+        top = jax.lax.dynamic_slice_in_dim(
+            table, active_mid.astype(jnp.int32), mid, axis=table.ndim - 1
+        )
+    return bottom, top
+
+
+def _stack_t_axis(bottom, top, n_evals):
+    """halves (16, m) -> (16, n_evals, m): evaluations of the one-variable
+    restriction at t = 0, 1, ..., n_evals-1 via incremental adds
+    (multilinearity: P(t+1, x) = P(t, x) + (P(1,x) - P(0,x)) — the same
+    Delta-increment the reference uses, sumcheck/algo.go:151-201, but as a
+    batched t-axis instead of an inner loop)."""
     d = fr.sub(top, bottom)
     rows = [bottom, top]
     cur = top
@@ -66,14 +81,35 @@ def _stack_t_axis(table, n_evals):
     return jnp.stack(rows, axis=1)
 
 
-def _partial_evals(gate: Gate, gate_params, eq, xs):
+def _partial_evals(gate: Gate, gate_params, eq, xs, active_mid=None):
     """One round's evaluations: (16, deg+2) sums over the half hypercube."""
     n_evals = gate.degree + 2
-    eq_t = _stack_t_axis(eq, n_evals)
-    xs_t = [_stack_t_axis(x, n_evals) for x in xs]
+    eq_b, eq_h = _split_halves(eq, active_mid)
+    eq_t = _stack_t_axis(eq_b, eq_h, n_evals)
+    xs_t = []
+    for x in xs:
+        b, h = _split_halves(x, active_mid)
+        xs_t.append(_stack_t_axis(b, h, n_evals))
     g = gate.eval_batch(gate_params, xs_t)
     prod = fr.mul(eq_t, g)
+    if active_mid is not None:
+        m = prod.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (m,), 0)
+        mask = lane < active_mid
+        prod = jnp.where(mask[None, None, :], prod, jnp.zeros_like(prod))
     return fr.reduce_sum(prod, 1)  # sum over the hypercube -> (16, n_evals)
+
+
+def _fold(table, r, active_mid=None):
+    """Fold on the leading hypercube variable. In masked tail rounds the
+    physical size is kept: the folded half is written to the prefix and the
+    (stale) upper half is carried along untouched."""
+    bottom, top = _split_halves(table, active_mid)
+    rr = r.reshape((fr.L,) + (1,) * (table.ndim - 1))
+    folded = fr.add(bottom, fr.mul(fr.sub(top, bottom), rr))
+    if active_mid is None:
+        return folded
+    return jnp.concatenate([folded, table[..., table.shape[-1] // 2 :]], axis=-1)
 
 
 def _make_eq(qprimes, claims):
@@ -98,6 +134,24 @@ def _make_eq(qprimes, claims):
     return eq
 
 
+# Tables at or below 2**TAIL_BITS entries run as ONE fixed-shape masked
+# lax.scan round body (compiled once per gate/shape class) instead of bn
+# unrolled round graphs; the wasted tail compute is O(bn * 2**TAIL_BITS),
+# negligible against the 2 * 2**bn total. Head rounds (large, halving
+# shapes) are unrolled so they run at full speed with no masking.
+TAIL_BITS = 12
+
+
+def _round_step(gate, gate_params, eq, xs, active_mid):
+    """One sumcheck round (partial evals -> coeffs -> challenge -> fold)."""
+    evals = _partial_evals(gate, gate_params, eq, xs, active_mid)
+    coeffs = lagrange.interpolate_on_range_device(evals)
+    r = mimc_hash_device(coeffs)
+    eq = _fold(eq, r, active_mid)
+    xs = [_fold(x, r, active_mid) for x in xs]
+    return eq, xs, coeffs, r
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
     bn = qprimes.shape[1]
@@ -107,23 +161,49 @@ def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
 
     coeffs_rounds = []
     challenges = []
-    for _ in range(bn):
-        evals = _partial_evals(gate, gate_params, eq, xs)
-        coeffs = lagrange.interpolate_on_range_device(evals)
-        r = mimc_hash_device(coeffs)
-        eq = multilin.fold(eq, r)
-        xs = [multilin.fold(x, r) for x in xs]
+    n = 1 << bn
+    while n > (1 << TAIL_BITS):
+        eq, xs, coeffs, r = _round_step(gate, gate_params, eq, xs, None)
         coeffs_rounds.append(coeffs)
         challenges.append(r)
+        n //= 2
+
+    tail_rounds = n.bit_length() - 1
+    if tail_rounds > 0:
+        def body(carry, _):
+            eq_c, xs_c, active_mid = carry
+            eq_c, xs_c, coeffs, r = _round_step(
+                gate, gate_params, eq_c, list(xs_c), active_mid
+            )
+            return (eq_c, tuple(xs_c), active_mid // 2), (coeffs, r)
+
+        (eq, xs_t, _), (tail_coeffs, tail_rs) = jax.lax.scan(
+            body,
+            (eq, tuple(xs), jnp.uint32(n // 2)),
+            None,
+            length=tail_rounds,
+        )
+        xs = list(xs_t)
+        coeffs_rounds.extend([tail_coeffs[i] for i in range(tail_rounds)])
+        challenges.extend([tail_rs[i] for i in range(tail_rounds)])
 
     final_claims = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
+    final_claims = fr.canonicalize(jnp.moveaxis(final_claims, -1, 0))
+    final_claims = jnp.moveaxis(final_claims, 0, -1)
     if bn > 0:
         proof = jnp.stack([jnp.moveaxis(c, 0, -1) for c in coeffs_rounds], axis=0)
         chals = jnp.stack(challenges, axis=0)
+        proof = _canon_rows(proof)
+        chals = _canon_rows(chals)
     else:
         proof = jnp.zeros((0, n_evals, fr.L), dtype=jnp.uint32)
         chals = jnp.zeros((0, fr.L), dtype=jnp.uint32)
     return proof, chals, final_claims
+
+
+def _canon_rows(arr):
+    """Canonicalize a limb-last rows tensor (lazy -> canonical values)."""
+    return jnp.moveaxis(fr.canonicalize(jnp.moveaxis(arr, -1, 0)), 0, -1)
 
 
 def prove(xs, qprimes, claims, gate: Gate) -> SumcheckProof:
