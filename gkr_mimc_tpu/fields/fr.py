@@ -57,6 +57,17 @@ def _limbs8(x: int, n: int) -> list[int]:
     return [(x >> (8 * i)) & 0xFF for i in range(n)]
 
 
+
+def _to_f32(x):
+    """uint32 (< 2**24) -> f32, via int32 (Mosaic lacks a direct u32->f32)."""
+    return x.astype(jnp.int32).astype(F32)
+
+
+def _to_u32(x):
+    """integer-valued f32 (< 2**31) -> uint32, via int32."""
+    return x.astype(jnp.int32).astype(U32)
+
+
 def _build_colred() -> np.ndarray:
     """(2L, 2*L*L) 0/1 matrix: maps [lo(i,j); hi(i,j)] -> column sums
     cols[k] = sum_{i+j=k} lo[i,j] + sum_{i+j+1=k} hi[i,j]."""
@@ -83,6 +94,14 @@ def _build_shift8(const_limbs8: list[int], n_out: int, n_in: int) -> np.ndarray:
 _COLRED = _build_colred()
 _NP8 = _build_shift8(_limbs8(NPRIME, 2 * L), 2 * L, 2 * L)  # m = T_lo * N' mod R
 _P8 = _build_shift8(_limbs8(P, 2 * L), 4 * L, 2 * L)  # m * p (8-bit cols)
+
+
+def mul_consts():
+    """The three constant matrices the multiply pipeline contracts with.
+    Outside kernels they are embedded as jit constants; Pallas kernels must
+    pass them as explicit inputs (pl.BlockSpec full blocks) and thread them
+    through via the `consts` argument of mul/square/pow7."""
+    return (_COLRED, _NP8, _P8)
 
 # max column value of _NP8 @ x with x < 256: bounded by 32 * 255 * 255 < 2**21
 # max column value of _P8  @ x with x < 256: same bound.
@@ -134,19 +153,20 @@ def _carry_norm(cols, bound_bits: int, width: int = W):
     while bound > (1 << width):
         x = (x & mask) + _shift_up(x >> width, 1)
         bound = ((1 << width) - 1) + (bound >> width)
-    # columns <= 2**width; generate/propagate for the final ripple
-    g = (x >> width).astype(jnp.bool_)  # in {0,1}
-    p = (x & mask) == mask
-    # exclusive prefix of (g, p) via Kogge-Stone
+    # columns <= 2**width; generate/propagate for the final ripple.
+    # All in uint32 0/1 (Mosaic has no bool<->int vector casts).
+    g = x >> width  # in {0,1}
+    pr = jnp.where((x & mask) == mask, jnp.uint32(1), jnp.uint32(0))
+    # exclusive prefix of (g, pr) via Kogge-Stone
     carry = _shift_up(g, 1)
-    prop = _shift_up(p, 1)
+    prop = _shift_up(pr, 1)
     d = 1
     k = x.shape[0]
     while d < k:
         carry = carry | (prop & _shift_up(carry, d))
         prop = prop & _shift_up(prop, d)
         d *= 2
-    return (x + carry.astype(U32)) & mask
+    return (x + carry) & mask
 
 
 def _carry_norm_with_msb(cols, bound_bits: int):
@@ -302,43 +322,90 @@ def _split8(limbs16):
     lo = limbs16 & np.uint32(0xFF)
     hi = limbs16 >> 8
     st = jnp.stack([lo, hi], axis=1)  # (K, 2, *S)
-    return st.reshape((2 * limbs16.shape[0],) + limbs16.shape[1:]).astype(F32)
+    return _to_f32(st.reshape((2 * limbs16.shape[0],) + limbs16.shape[1:]))
 
 
-def mul(a, b):
-    """Montgomery product REDC(a*b); canonical output. Broadcasts."""
-    # 1. limb outer product: one vector multiply, exact 32-bit products.
-    prod = a[:, None] * b[None, :]  # (16, 16, *S)
-    s = prod.shape[2:]
-    lo = (prod & MASK).astype(F32).reshape((L * L,) + s)
-    hi = (prod >> W).astype(F32).reshape((L * L,) + s)
-    stacked = jnp.concatenate([lo, hi], axis=0)  # (512, *S)
-    t_cols = _cmatmul(_COLRED, stacked).astype(U32)  # (32, *S) cols < 2**21
-    t = _carry_norm(t_cols, 21)  # T = a*b, 32 limbs < 2**16 (T < p^2)
+def _skew_cols(prod_planes):
+    """Column sums of an outer-product tensor via the skew trick.
 
-    # 2. m = (T mod R) * (-p^-1) mod R — 8-bit constant matmul.
-    m8_cols = _cmatmul(_NP8, _split8(t[:L])).astype(U32)  # (32,) 8-bit cols < 2**21
-    m8 = _carry_norm(m8_cols, 21, width=8)  # exact m, 32 8-bit limbs
+    prod_planes: (16, 16, *S) uint32 "partial product" planes where entry
+    (i, j) contributes to column i+j; every entry < 2**16 (callers split
+    32-bit products into lo/hi planes first). Returns (32, *S) column sums
+    (each < 2**21) using ONE pad + reshape + two masked axis reductions —
+    flat element (i*16 + k') for k' = (i+j) sits at row i, col (i+j) mod 16
+    of a (17, 16) view after padding 16 zero rows, with the q <= r half
+    holding columns < 16 and the q > r half columns >= 16.
+
+    This keeps the whole multiply on the VPU in uint32 — measured ~100x
+    faster on TPU than dense f32 matmul column reduction.
+    """
+    s = prod_planes.shape[2:]
+    padded = jnp.concatenate(
+        [prod_planes, jnp.zeros((L, 1) + s, dtype=prod_planes.dtype)], axis=1
+    )  # (16, 17, *S): one zero pad per row -> flat index i*17 + j = i*16 + (i+j)
+    grid = padded.reshape((L + 1, L) + s)  # (17, 16, *S)
+    q = jax.lax.broadcasted_iota(jnp.int32, (L + 1, L) + (1,) * len(s), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (L + 1, L) + (1,) * len(s), 1)
+    gi = grid.astype(jnp.int32)
+    low = jnp.sum(jnp.where(q <= r, gi, 0), axis=0)  # cols 0..15
+    high = jnp.sum(jnp.where(q > r, gi, 0), axis=0)  # cols 16..31
+    return jnp.concatenate([low, high], axis=0).astype(U32)
+
+
+# 16-bit limb constants for the REDC constant products (scalar literals:
+# they embed directly in kernels, no captured arrays).
+_NP16 = int_to_limbs(NPRIME)
+
+
+def _const_mul_planes(x, c_limbs):
+    """Partial-product planes of x (16 limbs) times a 16-limb constant:
+    returns (lo_planes, hi_planes), each (16, 16, *S) with entry (i, j) =
+    lo/hi of x[i] * c[j]. The constant limbs are embedded as scalar
+    literals (one vector multiply per limb), so Pallas kernels need no
+    captured constant arrays."""
+    cols = [x * np.uint32(cj) for cj in c_limbs]  # each (16, *S)
+    prod = jnp.stack(cols, axis=1)  # (16, 16, *S), entry (i, j) = x_i * c_j
+    lo = prod & MASK
+    hi = prod >> W
+    return lo, hi
+
+
+def mul(a, b, consts=None):
+    """Montgomery product REDC(a*b) on lazy reps (< 2p). Broadcasts.
+
+    Pure uint32 VPU pipeline: outer product -> skew column reduction ->
+    Kogge-Stone carries; REDC constant products likewise. No matmuls, no
+    captured constant arrays (Pallas kernels call this directly)."""
+    del consts  # retained for API compat; no longer needed
+    # 1. T = a*b: outer product planes + skew column sums.
+    prod = a[:, None] * b[None, :]  # (16, 16, *S) exact 32-bit products
+    t_cols = _skew_cols(prod & MASK) + _shift_up(_skew_cols(prod >> W), 1)
+    t = _carry_norm(t_cols, 22)  # T < p^2: 32 limbs < 2**16
+
+    # 2. m = (T mod R) * (-p^-1) mod R (keep columns < 16 only).
+    tlo = t[:L]
+    mlo, mhi = _const_mul_planes(tlo, _NP16)
+    m_cols = _skew_cols(mlo)[:L] + _shift_up(_skew_cols(mhi)[:L], 1)
+    m = _carry_norm(m_cols, 22)  # truncated mod R
 
     # 3. T + m*p, then >> 256.
-    mp8 = _cmatmul(_P8, m8.astype(F32)).astype(U32)  # (64, *S) 8-bit cols < 2**21
-    mp16 = mp8.reshape((2 * L, 2) + s)
-    mp_cols = mp16[:, 0] + (mp16[:, 1] << 8)  # (32, *S) 16-bit cols < 2**30
-    tot = _carry_norm(mp_cols + t, 31)  # (T + m*p) < 2**510: fits 32 limbs
-    # result = (T + m*p)/R < p + (2p)^2/R < 2p: already a valid lazy rep.
+    plo, phi = _const_mul_planes(m, P_LIMBS)
+    mp_cols = _skew_cols(plo) + _shift_up(_skew_cols(phi), 1)
+    tot = _carry_norm(mp_cols + t, 23)  # (T + m*p) < 2**510: fits 32 limbs
+    # result = (T + m*p)/R < p + (2p)^2/R < 2p: valid lazy rep.
     return tot[L:]
 
 
-def square(a):
-    return mul(a, a)
+def square(a, consts=None):
+    return mul(a, a, consts)
 
 
-def pow7(a):
+def pow7(a, consts=None):
     """x^7 via the reference S-box chain (hash/poseidon.go:129-135)."""
-    x2 = square(a)
-    x3 = mul(x2, a)
-    x6 = square(x3)
-    return mul(x6, a)
+    x2 = square(a, consts)
+    x3 = mul(x2, a, consts)
+    x6 = square(x3, consts)
+    return mul(x6, a, consts)
 
 
 def to_mont(a_std):
@@ -370,19 +437,28 @@ def _redc_wide(cols):
     Used by reduce_sum: summing Montgomery elements gives (sum)*R; REDC
     drops to plain form and a final multiply by R^2 restores Montgomery.
     """
+    return _redc_wide_ext(cols, None)
+
+
+def _redc_wide_ext(cols, extra_over):
+    """REDC of cols (16 redundant uint32 columns < 2**31) plus an optional
+    extra overflow row (value * 2**256, < 2**28) — the finishing step for
+    kernel-side block accumulators."""
     v, o = _carry_norm_with_msb(cols, 31)  # value = v + o*2**256, o < 2**16
-    # m = (value mod R) * (-p^-1) mod R
-    m8_cols = _cmatmul(_NP8, _split8(v)).astype(U32)
-    m8 = _carry_norm(m8_cols, 21, width=8)
-    # tot = value + m*p  (multiple of R); result = tot >> 256 < p + 2**16
-    mp8 = _cmatmul(_P8, m8.astype(F32)).astype(U32)
+    if extra_over is not None:
+        o = o + extra_over  # < 2**29
     s = cols.shape[1:]
-    mp16 = mp8.reshape((2 * L, 2) + s)
-    mp_cols = mp16[:, 0] + (mp16[:, 1] << 8)  # (32,) < 2**30
+    # m = (value mod R) * (-p^-1) mod R
+    mlo, mhi = _const_mul_planes(v, _NP16)
+    m_cols = _skew_cols(mlo)[:L] + _shift_up(_skew_cols(mhi)[:L], 1)
+    m = _carry_norm(m_cols, 22)
+    # tot = value + m*p  (multiple of R); result = tot >> 256 < p + 2**16
+    plo, phi = _const_mul_planes(m, P_LIMBS)
+    mp_cols = _skew_cols(plo) + _shift_up(_skew_cols(phi), 1)
     vcols = jnp.concatenate(
         [v, o[None], jnp.zeros((L - 1,) + s, dtype=U32)], axis=0
     )
-    tot = _carry_norm(mp_cols + vcols, 31)
+    tot = _carry_norm(mp_cols + vcols, 30)
     return tot[L:]  # < p + V/R < 2p: valid lazy rep
 
 

@@ -49,7 +49,21 @@ def _assign_fused_jit(block, state):
     return states  # (91, 16, N): cipher layer tables in walk order
 
 
+def _arks_cols():
+    import numpy as np
+
+    return jnp.asarray(np.asarray(arks_scan_tensor(MIMC_ROUNDS)).T.copy())
+
+
 def assign_fused(block, state) -> list:
-    """Witness tables for mimc_circuit(): [block, state, copy, cipher0..90]."""
+    """Witness tables for mimc_circuit(): [block, state, copy, cipher0..90].
+
+    On TPU this is ONE fused Pallas kernel writing all 91 cipher tables
+    (ops/kernels.py mimc_witness); elsewhere a jitted lax.scan."""
+    from ..ops import kernels as K
+
+    if K.pallas_enabled() and block.shape[-1] >= 512:
+        wit = K.mimc_witness(block, state, _arks_cols())
+        return [block, state, block] + [wit[i] for i in range(MIMC_ROUNDS)]
     states = _assign_fused_jit(block, state)
     return [block, state, block] + [states[i] for i in range(MIMC_ROUNDS)]

@@ -1,0 +1,360 @@
+"""Pallas TPU kernels for the GKR prover hot path.
+
+Kernel inventory (each the fused analog of a reference hot loop):
+
+* mimc_witness        — all 91 cipher-layer tables in one kernel
+                        (analog: circuit/circuit.go:48-64 layer walk)
+* cipher_partial_eval — one sumcheck round's (deg+2) partial evaluations
+                        for the cipher gate, fused gate+eq+block-reduction
+                        (analog: sumcheck/algo.go:54-205 getPartialPolyChunk)
+* identity_partial_eval — ditto for the Identity gate (multi-claim layer)
+* fold3 / fold1       — fold Eq + input tables on a challenge
+                        (analog: poly/multilin.go:26-36 FoldChunk)
+* mul_scalar          — table * broadcast scalar (eq-table build stages)
+* pow7 / cipher_layer — batched S-box / single cipher layer
+
+Blocks are (16, B) limb-major; per-kernel outputs that are hypercube sums
+accumulate as 17 raw uint32 limb-columns per t-point (block-local sums are
+carry-normalized in-kernel, cross-block accumulation is exact raw adds for
+up to 2**11 blocks), finished by a wide REDC outside the kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields import fr
+from ..fields.bn254 import L
+from . import fieldcore as fc
+
+DEFAULT_BLOCK = 512
+
+
+def pallas_enabled() -> bool:
+    """Pallas kernels are used on real TPU backends only (the portable
+    fields/fr.py path covers CPU tests and the virtual multi-chip mesh)."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return plat not in ("cpu",)
+
+
+def _block_for(n: int) -> int:
+    b = DEFAULT_BLOCK
+    while b > n:
+        b //= 2
+    return max(b, 1)
+
+
+# ---------------------------------------------------------------------------
+# pow7 / cipher layer / witness
+# ---------------------------------------------------------------------------
+
+
+def _pow7_kernel(x_ref, o_ref):
+    o_ref[:] = fc.pow7(x_ref[:])
+
+
+@jax.jit
+def pow7(x):
+    n = x.shape[-1]
+    b = _block_for(n)
+    return pl.pallas_call(
+        _pow7_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n // b,),
+        in_specs=[pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(x)
+
+
+def _cipher_kernel(ark_ref, l_ref, r_ref, o_ref):
+    ark = ark_ref[:]
+    o_ref[:] = fc.pow7(fc.add(fc.add(r_ref[:], ark), l_ref[:]))
+
+
+@jax.jit
+def cipher_layer(l, r, ark):
+    """(vL + vR + ark)^7 over the batch (circuit/gates/cipher.go:25-42)."""
+    n = l.shape[-1]
+    b = _block_for(n)
+    return pl.pallas_call(
+        _cipher_kernel,
+        out_shape=jax.ShapeDtypeStruct(l.shape, l.dtype),
+        grid=(n // b,),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(ark.reshape(L, 1), l, r)
+
+
+def _witness_kernel(arks_ref, block_ref, state_ref, o_ref, st_scratch):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        st_scratch[:] = state_ref[:]
+
+    # select round-constant column j from the (16, 128)-padded table
+    # (dynamic lane slicing needs 128-alignment; a masked reduce is free)
+    arks = arks_ref[:].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
+    ark = jnp.sum(jnp.where(lane == j, arks, 0), axis=1, keepdims=True).astype(
+        jnp.uint32
+    )
+
+    nxt = fc.pow7(fc.add(fc.add(st_scratch[:], ark), block_ref[:]))
+    o_ref[:] = nxt[None]
+    st_scratch[:] = nxt
+
+
+@jax.jit
+def mimc_witness(block, state, arks_cols):
+    """All 91 cipher-layer tables: out (91, 16, N).
+
+    arks_cols: (16, 91) Montgomery columns. The round axis rides the grid
+    (sequential on TPU) with the running state held in VMEM scratch; the
+    reference instead evaluates 91 separate layers with a goroutine pool."""
+    n = block.shape[-1]
+    b = min(_block_for(n), 256)
+    n_rounds = arks_cols.shape[1]
+    arks_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :n_rounds].set(arks_cols)
+    return pl.pallas_call(
+        _witness_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_rounds, L, n), block.dtype),
+        grid=(n // b, n_rounds),
+        in_specs=[
+            pl.BlockSpec((L, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, L, b), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((L, b), jnp.uint32)],
+    )(arks_pad, block, state)
+
+
+# ---------------------------------------------------------------------------
+# Sumcheck round kernels
+# ---------------------------------------------------------------------------
+
+
+def _blocksum(v):
+    """Raw block sum of lazy reps over the lane axis -> (17, 1) limbs+over."""
+    cols = jnp.sum(v.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.uint32)
+    limbs, over = fc.carry_rows(cols, 26, with_over=True)
+    return limbs, over
+
+
+def _cipher_pe_kernel(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref, x1b_ref, x1t_ref, o_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    ark = ark_ref[:]
+    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+    x1_b, x1_t = x1b_ref[:], x1t_ref[:]
+
+    d_eq = fc.sub(eq_t, eq_b)
+    d_x0 = fc.sub(x0_t, x0_b)
+    d_x1 = fc.sub(x1_t, x1_b)
+
+    n_evals = o_ref.shape[1]
+    eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
+    for t in range(n_evals):
+        if t == 1:
+            eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
+        elif t > 1:
+            eq_c = fc.add(eq_c, d_eq)
+            x0_c = fc.add(x0_c, d_x0)
+            x1_c = fc.add(x1_c, d_x1)
+        g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
+        prod = fc.mul(eq_c, g)
+        limbs, over = _blocksum(prod)
+        o_ref[0:L, pl.ds(t, 1)] += limbs
+        o_ref[L : L + 1, pl.ds(t, 1)] += over
+
+
+def _identity_pe_kernel(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+    d_eq = fc.sub(eq_t, eq_b)
+    d_x0 = fc.sub(x0_t, x0_b)
+
+    n_evals = o_ref.shape[1]
+    eq_c, x0_c = eq_b, x0_b
+    for t in range(n_evals):
+        if t == 1:
+            eq_c, x0_c = eq_t, x0_t
+        elif t > 1:
+            eq_c = fc.add(eq_c, d_eq)
+            x0_c = fc.add(x0_c, d_x0)
+        prod = fc.mul(eq_c, x0_c)
+        limbs, over = _blocksum(prod)
+        o_ref[0:L, pl.ds(t, 1)] += limbs
+        o_ref[L : L + 1, pl.ds(t, 1)] += over
+
+
+def _finish_evals(acc):
+    """(17, T) raw column accumulators -> (16, T) Montgomery lazy reps."""
+    plain = fr._redc_wide_ext(acc[:L], acc[L])
+    return fr.mul(plain, fr._r2_tensor(plain.ndim - 1))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def cipher_partial_evals(eq, x0, x1, ark, n_evals: int):
+    """One round's partial evals for the cipher gate: (16, n_evals)."""
+    n = eq.shape[-1]
+    mid = n // 2
+    b = _block_for(mid)
+    nb = mid // b
+
+    def bot(i):
+        return (0, i)
+
+    def top(i):
+        return (0, i + nb)
+
+    acc = pl.pallas_call(
+        _cipher_pe_kernel,
+        out_shape=jax.ShapeDtypeStruct((L + 1, n_evals), jnp.uint32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L + 1, n_evals), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )(ark.reshape(L, 1), eq, eq, x0, x0, x1, x1)
+    return _finish_evals(acc)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def identity_partial_evals(eq, x0, n_evals: int):
+    n = eq.shape[-1]
+    mid = n // 2
+    b = _block_for(mid)
+    nb = mid // b
+
+    def bot(i):
+        return (0, i)
+
+    def top(i):
+        return (0, i + nb)
+
+    acc = pl.pallas_call(
+        _identity_pe_kernel,
+        out_shape=jax.ShapeDtypeStruct((L + 1, n_evals), jnp.uint32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L + 1, n_evals), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )(eq, eq, x0, x0)
+    return _finish_evals(acc)
+
+
+# ---------------------------------------------------------------------------
+# Folding
+# ---------------------------------------------------------------------------
+
+
+def _fold_kernel_n(nt):
+    def kern(*refs):
+        r_ref = refs[0]
+        r = r_ref[:]
+        for k in range(nt):
+            b_ref = refs[1 + 2 * k]
+            t_ref = refs[2 + 2 * k]
+            o_ref = refs[1 + 2 * nt + k]
+            bot = b_ref[:]
+            o_ref[:] = fc.add(bot, fc.mul(fc.sub(t_ref[:], bot), r))
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fold_tables(tables, r, nt: int):
+    """Fold nt tables on challenge r in one kernel: [(16, n)] -> [(16, n/2)]."""
+    n = tables[0].shape[-1]
+    mid = n // 2
+    b = _block_for(mid)
+    nb = mid // b
+
+    def bot(i):
+        return (0, i)
+
+    def top(i):
+        return (0, i + nb)
+
+    in_specs = [pl.BlockSpec((L, b), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    args = [jnp.broadcast_to(r.reshape(L, 1), (L, b))]
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    out_shapes = [jax.ShapeDtypeStruct((L, mid), jnp.uint32) for _ in tables]
+    out_specs = [pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM) for _ in tables]
+    outs = pl.pallas_call(
+        _fold_kernel_n(nt),
+        out_shape=out_shapes,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(*args)
+    return list(outs)
+
+
+# ---------------------------------------------------------------------------
+# Eq-table build stage
+# ---------------------------------------------------------------------------
+
+
+def _mul_scalar_kernel(r_ref, x_ref, o_ref):
+    o_ref[:] = fc.mul(x_ref[:], r_ref[:])
+
+
+@jax.jit
+def mul_scalar(x, r):
+    """x * broadcast scalar r: the eq-table doubling stage inner op."""
+    n = x.shape[-1]
+    b = _block_for(n)
+    return pl.pallas_call(
+        _mul_scalar_kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n // b,),
+        in_specs=[
+            pl.BlockSpec((L, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(jnp.broadcast_to(r.reshape(L, 1), (L, b)), x)

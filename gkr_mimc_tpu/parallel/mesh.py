@@ -1,0 +1,248 @@
+"""Multi-chip sharded GKR prover.
+
+The reference parallelizes with a shared-memory goroutine pool over table
+chunks (common/parallelize.go, sumcheck/worker.go). The TPU-native analog
+(SURVEY.md §2.10): partition the 2**bn hypercube over a 1-D device mesh,
+reduce each round's partial evaluations with `jax.lax.psum` over ICI,
+derive the (identical) Fiat-Shamir challenge on every shard, and fold
+shard-locally.
+
+Layout: hypercube index x lives on shard d = x mod D at local position
+q = x div D ("cyclic" / low-bit sharding). Sumcheck folds pair (x, x + n/2),
+which share low bits — so every fold is shard-local until the table shrinks
+to one element per shard; the tiny remainder is all-gathered and finished
+replicated. Each shard seeds its local eq table with the prefix product of
+its residue bits — the same math as the reference's chunked eq build
+(poly/eq.go:62-89 ChunkOfEqTable), applied to low bits instead of high.
+
+Transcript parity: the per-round evaluations are exact modular sums (psum
+of limb columns + wide REDC), so coefficients, challenges and proofs are
+bit-identical to the single-chip prover — asserted by tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..circuits.circuit import Circuit
+from ..circuits.gates import Gate
+from ..fields import fr
+from ..gkr.prover import GKRProof
+from ..hashes.mimc import mimc_hash_device
+from ..poly import lagrange, multilin
+from ..sumcheck.prover import SumcheckProof, _partial_evals, _fold, _canon_rows
+
+AXIS = "hc"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard_table(x, mesh: Mesh):
+    """(16, N) lexicographic table -> (16, D, N/D) cyclic-sharded device
+    array: entry (d, q) = x[q*D + d]."""
+    d = mesh.shape[AXIS]
+    n = x.shape[-1]
+    assert n % d == 0
+    resh = jnp.moveaxis(x.reshape(fr.L, n // d, d), 2, 1)  # (16, D, N/D)
+    return jax.device_put(resh, NamedSharding(mesh, P(None, AXIS, None)))
+
+
+def unshard_table(xs):
+    """(16, D, M) cyclic-sharded -> (16, D*M) lexicographic (host ok)."""
+    return jnp.moveaxis(xs, 1, 2).reshape(fr.L, -1)
+
+
+def _renorm_psum(cols, axis_name):
+    """psum of lazy limb reps -> lazy rep (exact): the summed columns are
+    < D * 2**16 < 2**31, one wide REDC + R^2 multiply renormalizes."""
+    summed = jax.lax.psum(cols, axis_name)
+    plain = fr._redc_wide(summed)
+    return fr.mul(plain, fr._r2_tensor(plain.ndim - 1))
+
+
+def _make_eq_local(qprimes, claims, d, local_bn):
+    """Shard-local combined eq table (16, 2**local_bn)."""
+    n_claims = qprimes.shape[0]
+    pref = multilin.eq_prefix(qprimes[0, local_bn:], d)
+    eq = multilin.eq_table(qprimes[0, :local_bn], multiplier=pref)
+    if n_claims <= 1:
+        return eq
+    rlc = mimc_hash_device(claims)
+
+    def body(carry, qp):
+        acc, mult = carry
+        pj = multilin.eq_prefix(qp[local_bn:], d)
+        acc = fr.add(acc, multilin.eq_table(qp[:local_bn], multiplier=fr.mul(mult, pj)))
+        return (acc, fr.mul(mult, rlc)), None
+
+    (eq, _), _ = jax.lax.scan(body, (eq, rlc), qprimes[1:])
+    return eq
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _make_sharded_fn(gate: Gate, bn: int, n_tables: int, mesh: Mesh):
+    key = (gate, bn, n_tables, mesh)
+    if key in _SHARDED_CACHE:
+        return _SHARDED_CACHE[key]
+
+    log_d = int(np.log2(mesh.shape[AXIS]))
+    local_bn = bn - log_d
+    assert local_bn >= 0, "hypercube smaller than the mesh"
+
+    def body(gate_params, qprimes, claims, *xs_blocks):
+        d = jax.lax.axis_index(AXIS)
+        xs = [b.reshape(fr.L, -1) for b in xs_blocks]
+
+        eq = _make_eq_local(qprimes, claims, d, local_bn)
+
+        coeffs_rounds = []
+        challenges = []
+
+        # Phase 1: shard-local rounds with psum'd evaluations.
+        for _ in range(local_bn):
+            evals = _renorm_psum(
+                _partial_evals(gate, gate_params, eq, xs, None), AXIS
+            )
+            coeffs = lagrange.interpolate_on_range_device(evals)
+            r = mimc_hash_device(coeffs)
+            eq = _fold(eq, r, None)
+            xs = [_fold(x, r, None) for x in xs]
+            coeffs_rounds.append(coeffs)
+            challenges.append(r)
+
+        # Phase 2: gather the per-shard scalars and finish replicated.
+        if log_d > 0:
+            eq = jnp.moveaxis(jax.lax.all_gather(eq[..., 0], AXIS), -1, 0)
+            xs = [
+                jnp.moveaxis(jax.lax.all_gather(x[..., 0], AXIS), -1, 0)
+                for x in xs
+            ]
+            for _ in range(log_d):
+                evals = _partial_evals(gate, gate_params, eq, xs, None)
+                coeffs = lagrange.interpolate_on_range_device(evals)
+                r = mimc_hash_device(coeffs)
+                eq = _fold(eq, r, None)
+                xs = [_fold(x, r, None) for x in xs]
+                coeffs_rounds.append(coeffs)
+                challenges.append(r)
+
+        final_claims = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
+        final_claims = jnp.moveaxis(
+            fr.canonicalize(jnp.moveaxis(final_claims, -1, 0)), 0, -1
+        )
+        proof = jnp.stack([jnp.moveaxis(c, 0, -1) for c in coeffs_rounds], axis=0)
+        chals = jnp.stack(challenges, axis=0)
+        return _canon_rows(proof), _canon_rows(chals), final_claims
+
+    from jax.experimental.shard_map import shard_map
+
+    in_specs = (P(), P(), P()) + tuple(P(None, AXIS, None) for _ in range(n_tables))
+    out_specs = (P(), P(), P())
+    f = jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+    )
+    _SHARDED_CACHE[key] = f
+    return f
+
+
+def prove_sharded(xs_sharded, qprimes, claims, gate: Gate, mesh: Mesh) -> SumcheckProof:
+    """Sharded analog of sumcheck.prover.prove: xs are (16, D, M) cyclic
+    tables; outputs identical to the single-chip prover."""
+    bn = int(qprimes.shape[1])
+    if claims is None:
+        claims = jnp.zeros((fr.L, 0), dtype=jnp.uint32)
+    f = _make_sharded_fn(gate, bn, len(xs_sharded), mesh)
+    proof, chals, fc = f(gate.params(), qprimes, claims, *xs_sharded)
+    return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
+
+
+def assign_sharded_mimc(block_sh, state_sh):
+    """Witness over cyclic-sharded inputs: elementwise, so the single-chip
+    scan works unchanged under sharding propagation."""
+    from ..models.mimc import _assign_fused_jit, MIMC_ROUNDS
+
+    states = _assign_fused_jit(block_sh, state_sh)
+    return [block_sh, state_sh, block_sh] + [states[i] for i in range(MIMC_ROUNDS)]
+
+
+def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRProof:
+    """The GKR layer walk over sharded assignment tables."""
+    nlayers = len(circuit)
+    bn = qprime.shape[0]
+
+    claim_store: list[list] = [[None] * len(l.out) for l in circuit]
+    qprime_store: list[list] = [[None] * len(l.out) for l in circuit]
+    proofs = [None] * nlayers
+    claims_out = [None] * nlayers
+    qprimes_out = [None] * nlayers
+
+    qprimes_out[nlayers - 1] = jnp.asarray(qprime)[None]
+    claims_out[nlayers - 1] = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+
+    for layer in range(nlayers - 1, -1, -1):
+        if circuit.is_input_layer(layer):
+            break
+        if layer == nlayers - 1:
+            qprimes = qprimes_out[layer]
+            claims = None
+        else:
+            qprimes = jnp.stack(qprime_store[layer], axis=0)
+            claim_rows = jnp.stack(claim_store[layer], axis=0)
+            claims = jnp.moveaxis(claim_rows, -1, 0)
+            qprimes_out[layer] = qprimes
+            claims_out[layer] = claim_rows
+
+        xs = [assignment[j] for j in circuit[layer].in_]
+        scp = prove_sharded(xs, qprimes, claims, circuit[layer].gate, mesh)
+        proofs[layer] = scp
+
+        for i, inp in enumerate(circuit[layer].in_):
+            slot = circuit.out_slot(inp, layer)
+            claim_store[inp][slot] = scp.final_claims[1 + i]
+            qprime_store[inp][slot] = scp.challenges
+
+    for layer in range(nlayers):
+        if not circuit.is_input_layer(layer):
+            continue
+        if claim_store[layer] and claim_store[layer][0] is not None:
+            claims_out[layer] = jnp.stack(claim_store[layer], axis=0)
+            qprimes_out[layer] = jnp.stack(qprime_store[layer], axis=0)
+
+    return GKRProof(proofs, claims_out, qprimes_out)
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: jit the full sharded GKR prove over an n_devices mesh
+    and run one step on tiny shapes."""
+    from ..models.mimc import mimc_circuit
+    from ..utils.common import random_fr_array
+    from ..utils.convert import ints_to_rows
+
+    mesh = make_mesh(n_devices)
+    log_d = int(np.log2(n_devices))
+    bn = log_d + 2
+    n = 1 << bn
+
+    c = mimc_circuit()
+    block = shard_table(fr.from_ints_mont(random_fr_array(n)), mesh)
+    state = shard_table(fr.from_ints_mont(random_fr_array(n)), mesh)
+    a = assign_sharded_mimc(block, state)
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+
+    proof = prove_gkr_sharded(c, a, qprime, mesh)
+    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    print(f"dryrun_multichip OK: {n_devices} devices, bn={bn}")

@@ -62,12 +62,18 @@ def eq_table(qprime, multiplier=None):
 
     qprime: (n, 16) Montgomery tensor of the evaluation point.
     """
+    from ..ops import kernels as K
+
     n = qprime.shape[0]
     t = fr.one(()) if multiplier is None else multiplier
     t = t[:, None]  # (16, 1)
+    use_pallas = K.pallas_enabled()
     for i in range(n):
         r = qprime[i][:, None]  # (16, 1) broadcasts over current length
-        rt = fr.mul(t, r)
+        if use_pallas and t.shape[-1] >= 512:
+            rt = K.mul_scalar(t, qprime[i])
+        else:
+            rt = fr.mul(t, r)
         lo = fr.sub(t, rt)
         # interleave: new index = old*2 + bit (earlier steps more significant)
         t = jnp.stack([lo, rt], axis=-1).reshape(fr.L, -1)

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..fields import fr
 from ..hashes.mimc import mimc_hash_device
 from ..poly import lagrange, multilin
-from ..circuits.gates import Gate
+from ..circuits.gates import CipherGate, Gate, IdentityGate
+from ..ops import kernels as K
 
 
 @dataclass
@@ -138,12 +139,41 @@ def _make_eq(qprimes, claims):
 # lax.scan round body (compiled once per gate/shape class) instead of bn
 # unrolled round graphs; the wasted tail compute is O(bn * 2**TAIL_BITS),
 # negligible against the 2 * 2**bn total. Head rounds (large, halving
-# shapes) are unrolled so they run at full speed with no masking.
+# shapes) are unrolled so they run at full speed with no masking — on TPU
+# they dispatch the fused Pallas kernels (ops/kernels.py).
 TAIL_BITS = 12
+PALLAS_MIN = 512  # smallest table the Pallas round kernels handle
+
+
+def _tail_bits() -> int:
+    # with Pallas kernels the head rounds are cheap to compile and fast;
+    # push the masked tail lower so more rounds run at kernel speed
+    return 8 if K.pallas_enabled() else TAIL_BITS
+
+
+def _pallas_gate_kind(gate: Gate, xs) -> str | None:
+    if not K.pallas_enabled():
+        return None
+    if isinstance(gate, CipherGate) and len(xs) == 2:
+        return "cipher"
+    if isinstance(gate, IdentityGate) and len(xs) == 1:
+        return "identity"
+    return None
 
 
 def _round_step(gate, gate_params, eq, xs, active_mid):
     """One sumcheck round (partial evals -> coeffs -> challenge -> fold)."""
+    kind = _pallas_gate_kind(gate, xs) if active_mid is None else None
+    if kind is not None and eq.shape[-1] >= PALLAS_MIN:
+        n_evals = gate.degree + 2
+        if kind == "cipher":
+            evals = K.cipher_partial_evals(eq, xs[0], xs[1], gate_params[0], n_evals)
+        else:
+            evals = K.identity_partial_evals(eq, xs[0], n_evals)
+        coeffs = lagrange.interpolate_on_range_device(evals)
+        r = mimc_hash_device(coeffs)
+        folded = K.fold_tables([eq] + list(xs), r, 1 + len(xs))
+        return folded[0], folded[1:], coeffs, r
     evals = _partial_evals(gate, gate_params, eq, xs, active_mid)
     coeffs = lagrange.interpolate_on_range_device(evals)
     r = mimc_hash_device(coeffs)
@@ -162,7 +192,7 @@ def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
     coeffs_rounds = []
     challenges = []
     n = 1 << bn
-    while n > (1 << TAIL_BITS):
+    while n > (1 << _tail_bits()):
         eq, xs, coeffs, r = _round_step(gate, gate_params, eq, xs, None)
         coeffs_rounds.append(coeffs)
         challenges.append(r)
