@@ -19,10 +19,21 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from ..circuits.circuit import Circuit
 from ..fields import fr
 from ..sumcheck import prover as sumcheck_prover
 from ..sumcheck.prover import SumcheckProof
+
+# Every per-layer bookkeeping op is jitted: an eager dispatch costs ~20ms
+# through a remote-device tunnel, a jitted call ~0.04ms. Cached per shape.
+_stack0 = jax.jit(lambda *xs: jnp.stack(xs, axis=0))
+_claims_pack = jax.jit(
+    lambda *cs: (jnp.stack(cs, axis=0), jnp.moveaxis(jnp.stack(cs, axis=0), -1, 0))
+)
+_row = jax.jit(lambda fc, i: jax.lax.dynamic_index_in_dim(fc, i, 0, keepdims=False))
+_empty_claims = jax.jit(lambda: jnp.zeros((0, fr.L), dtype=jnp.uint32))
 
 
 @dataclass
@@ -57,8 +68,8 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
     qprimes_out: list[Optional[jnp.ndarray]] = [None] * nlayers
 
     # output layer: a single qPrime, no claims (gkr/prover.go:31)
-    qprimes_out[nlayers - 1] = jnp.asarray(qprime)[None]
-    claims_out[nlayers - 1] = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+    qprimes_out[nlayers - 1] = _stack0(jnp.asarray(qprime))
+    claims_out[nlayers - 1] = _empty_claims()
 
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):
@@ -68,9 +79,8 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
             qprimes = qprimes_out[layer]
             claims = None
         else:
-            qprimes = jnp.stack(qprime_store[layer], axis=0)
-            claim_rows = jnp.stack(claim_store[layer], axis=0)  # (J, 16)
-            claims = jnp.moveaxis(claim_rows, -1, 0)  # (16, J) for the prover
+            qprimes = _stack0(*qprime_store[layer])
+            claim_rows, claims = _claims_pack(*claim_store[layer])
             qprimes_out[layer] = qprimes
             claims_out[layer] = claim_rows
 
@@ -81,7 +91,7 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
         next_qprime = scp.challenges  # (bn, 16)
         for i, inp in enumerate(circuit[layer].in_):
             slot = circuit.out_slot(inp, layer)
-            claim_store[inp][slot] = scp.final_claims[1 + i]
+            claim_store[inp][slot] = _row(scp.final_claims, 1 + i)
             qprime_store[inp][slot] = next_qprime
 
     # materialize claims/qprimes for input layers (needed by the verifier's
@@ -90,7 +100,7 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
         if not circuit.is_input_layer(layer):
             continue
         if claim_store[layer] and claim_store[layer][0] is not None:
-            claims_out[layer] = jnp.stack(claim_store[layer], axis=0)
-            qprimes_out[layer] = jnp.stack(qprime_store[layer], axis=0)
+            claims_out[layer] = _stack0(*claim_store[layer])
+            qprimes_out[layer] = _stack0(*qprime_store[layer])
 
     return GKRProof(proofs, claims_out, qprimes_out)

@@ -16,9 +16,10 @@ XARR_INT = [a % P for a in XARR]
 YARR_INT = [a % P for a in YARR]
 
 
-def arks_scan_tensor(n: int) -> jnp.ndarray:
-    """First n Arks in Montgomery form, shape (n, 16) — a `lax.scan` xs."""
+def arks_scan_tensor(n: int) -> np.ndarray:
+    """First n Arks in Montgomery form, shape (n, 16) — a `lax.scan` xs.
+    Returned as numpy (host) so callers can stay off-device until traced."""
     out = np.empty((n, L), dtype=np.uint32)
     for i in range(n):
         out[i] = int_to_limbs(ARKS_INT[i] * R1 % P)
-    return jnp.asarray(out)
+    return out

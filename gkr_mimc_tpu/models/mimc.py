@@ -49,10 +49,17 @@ def _assign_fused_jit(block, state):
     return states  # (91, 16, N): cipher layer tables in walk order
 
 
-def _arks_cols():
-    import numpy as np
+import numpy as _np
+from functools import lru_cache
 
-    return jnp.asarray(np.asarray(arks_scan_tensor(MIMC_ROUNDS)).T.copy())
+
+@lru_cache(maxsize=None)
+def _arks_cols_np():
+    return _np.ascontiguousarray(arks_scan_tensor(MIMC_ROUNDS).T)
+
+
+def _arks_cols():
+    return _arks_cols_np()
 
 
 def assign_fused(block, state) -> list:
@@ -64,6 +71,9 @@ def assign_fused(block, state) -> list:
 
     if K.pallas_enabled() and block.shape[-1] >= 512:
         wit = K.mimc_witness(block, state, _arks_cols())
-        return [block, state, block] + [wit[i] for i in range(MIMC_ROUNDS)]
+        return [block, state, block] + _unstack(wit)
     states = _assign_fused_jit(block, state)
-    return [block, state, block] + [states[i] for i in range(MIMC_ROUNDS)]
+    return [block, state, block] + _unstack(states)
+
+
+_unstack = jax.jit(lambda w: [w[i] for i in range(w.shape[0])])

@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..circuits.circuit import Circuit
 from ..circuits.gates import Gate
 from ..fields import fr
-from ..gkr.prover import GKRProof
+from ..gkr.prover import GKRProof, _claims_pack, _empty_claims, _row, _stack0
 from ..hashes.mimc import mimc_hash_device
 from ..poly import lagrange, multilin
 from ..sumcheck.prover import SumcheckProof, _partial_evals, _fold, _canon_rows
@@ -164,7 +164,9 @@ def prove_sharded(xs_sharded, qprimes, claims, gate: Gate, mesh: Mesh) -> Sumche
     tables; outputs identical to the single-chip prover."""
     bn = int(qprimes.shape[1])
     if claims is None:
-        claims = jnp.zeros((fr.L, 0), dtype=jnp.uint32)
+        from ..sumcheck.prover import _no_claims
+
+        claims = _no_claims()
     f = _make_sharded_fn(gate, bn, len(xs_sharded), mesh)
     proof, chals, fc = f(gate.params(), qprimes, claims, *xs_sharded)
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
@@ -190,8 +192,8 @@ def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRPr
     claims_out = [None] * nlayers
     qprimes_out = [None] * nlayers
 
-    qprimes_out[nlayers - 1] = jnp.asarray(qprime)[None]
-    claims_out[nlayers - 1] = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+    qprimes_out[nlayers - 1] = _stack0(jnp.asarray(qprime))
+    claims_out[nlayers - 1] = _empty_claims()
 
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):
@@ -200,9 +202,8 @@ def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRPr
             qprimes = qprimes_out[layer]
             claims = None
         else:
-            qprimes = jnp.stack(qprime_store[layer], axis=0)
-            claim_rows = jnp.stack(claim_store[layer], axis=0)
-            claims = jnp.moveaxis(claim_rows, -1, 0)
+            qprimes = _stack0(*qprime_store[layer])
+            claim_rows, claims = _claims_pack(*claim_store[layer])
             qprimes_out[layer] = qprimes
             claims_out[layer] = claim_rows
 
@@ -212,15 +213,15 @@ def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRPr
 
         for i, inp in enumerate(circuit[layer].in_):
             slot = circuit.out_slot(inp, layer)
-            claim_store[inp][slot] = scp.final_claims[1 + i]
+            claim_store[inp][slot] = _row(scp.final_claims, 1 + i)
             qprime_store[inp][slot] = scp.challenges
 
     for layer in range(nlayers):
         if not circuit.is_input_layer(layer):
             continue
         if claim_store[layer] and claim_store[layer][0] is not None:
-            claims_out[layer] = jnp.stack(claim_store[layer], axis=0)
-            qprimes_out[layer] = jnp.stack(qprime_store[layer], axis=0)
+            claims_out[layer] = _stack0(*claim_store[layer])
+            qprimes_out[layer] = _stack0(*qprime_store[layer])
 
     return GKRProof(proofs, claims_out, qprimes_out)
 

@@ -236,6 +236,9 @@ def _canon_rows(arr):
     return jnp.moveaxis(fr.canonicalize(jnp.moveaxis(arr, -1, 0)), 0, -1)
 
 
+_no_claims = jax.jit(lambda: jnp.zeros((fr.L, 0), dtype=jnp.uint32))
+
+
 def prove(xs, qprimes, claims, gate: Gate) -> SumcheckProof:
     """Run the sumcheck prover.
 
@@ -250,7 +253,7 @@ def prove(xs, qprimes, claims, gate: Gate) -> SumcheckProof:
         assert x.shape[-1] == 1 << bn, (x.shape, bn)
     if claims is None:
         assert qprimes.shape[0] == 1
-        claims = jnp.zeros((fr.L, 0), dtype=jnp.uint32)
+        claims = _no_claims()
     proof, chals, fc = _prove_jit(gate, gate.params(), list(xs), qprimes, claims)
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
 
