@@ -126,6 +126,48 @@ class SBoxGate(Gate):
         return scalar.pow7(xs[0])
 
 
+class LinearGate(Gate):
+    """sum_j c_j * v_j + c_const over k inputs — the MDS-row gate for the
+    Poseidon GKR circuit (no reference analog; Poseidon has no circuit in
+    the reference, hash/poseidon.go is hash-only). Degree 1 in hPrime."""
+
+    name = "LinearGate"
+    degree = 1
+
+    def __init__(self, coeffs: list[int], const: int = 0):
+        self.coeffs = [c % scalar.P for c in coeffs]
+        self.const = const % scalar.P
+        self.arity = len(coeffs)
+        self._params = None
+
+    def static_key(self):
+        return (type(self).__name__, self.arity, self.const == 0)
+
+    def params(self):
+        if self._params is None:
+            cs = tuple(fr.from_int_mont(c) for c in self.coeffs)
+            if self.const:
+                cs = cs + (fr.from_int_mont(self.const),)
+            self._params = cs
+        return self._params
+
+    def eval_batch(self, params, xs):
+        nd = xs[0].ndim - 1
+        cs = [p.reshape((fr.L,) + (1,) * nd) for p in params]
+        acc = fr.mul(cs[0], xs[0])
+        for j in range(1, self.arity):
+            acc = fr.add(acc, fr.mul(cs[j], xs[j]))
+        if self.const:
+            acc = fr.add(acc, cs[self.arity])
+        return acc
+
+    def eval_scalar(self, xs):
+        acc = self.const
+        for c, x in zip(self.coeffs, xs):
+            acc = scalar.add(acc, scalar.mul(c, x))
+        return acc
+
+
 class AffineGate(Gate):
     """c0*vL + c1*vR + c2 — general linear-combination gate used to express
     MDS rows / ark additions for Poseidon-style circuits."""

@@ -43,6 +43,13 @@ AXIS = "hc"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"JAX devices are visible ({devs[0].platform}); for a "
+                "virtual CPU mesh set jax_platforms=cpu and "
+                "--xla_force_host_platform_device_count before backend init"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (AXIS,))
 
@@ -89,29 +96,48 @@ def _make_eq_local(qprimes, claims, d, local_bn):
     return eq
 
 
-_SHARDED_CACHE: dict = {}
+# Per-round-size compiled shard_map programs, cached across layers and bn
+# (the same restructure as the single-chip prover, sumcheck/prover.py:
+# a sharded round at local size m is the same program for every layer).
+_EQ_CACHE: dict = {}
+_ROUND_CACHE: dict = {}
+_GATHER_CACHE: dict = {}
 
 
-def _make_sharded_fn(gate: Gate, bn: int, n_tables: int, mesh: Mesh):
-    key = (gate, bn, n_tables, mesh)
-    if key in _SHARDED_CACHE:
-        return _SHARDED_CACHE[key]
+def _shmap(body, mesh, in_specs, out_specs, donate=()):
+    from jax.experimental.shard_map import shard_map
 
-    log_d = int(np.log2(mesh.shape[AXIS]))
-    local_bn = bn - log_d
-    assert local_bn >= 0, "hypercube smaller than the mesh"
+    return jax.jit(
+        shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False),
+        donate_argnums=donate,
+    )
 
-    def body(gate_params, qprimes, claims, *xs_blocks):
-        d = jax.lax.axis_index(AXIS)
-        xs = [b.reshape(fr.L, -1) for b in xs_blocks]
 
-        eq = _make_eq_local(qprimes, claims, d, local_bn)
+def _eq_fn(mesh: Mesh, local_bn: int):
+    key = (mesh, local_bn)
+    f = _EQ_CACHE.get(key)
+    if f is None:
+        def body(qprimes, claims):
+            d = jax.lax.axis_index(AXIS)
+            return _make_eq_local(qprimes, claims, d, local_bn)[:, None]
 
-        coeffs_rounds = []
-        challenges = []
+        f = _shmap(body, mesh, (P(), P()), P(None, AXIS, None))
+        _EQ_CACHE[key] = f
+    return f
 
-        # Phase 1: shard-local rounds with psum'd evaluations.
-        for _ in range(local_bn):
+
+def _round_fn(gate: Gate, n_tables: int, mesh: Mesh, donate: bool):
+    """One shard-local round: psum'd partial evals -> coeffs -> challenge
+    (recomputed identically on every shard) -> local fold."""
+    from ..sumcheck.prover import _can_donate
+    donate = donate and _can_donate()
+    key = (gate, n_tables, mesh, donate)
+    f = _ROUND_CACHE.get(key)
+    if f is None:
+        def body(gate_params, eq_b, *xs_blocks):
+            eq = eq_b.reshape(fr.L, -1)
+            xs = [b.reshape(fr.L, -1) for b in xs_blocks]
             evals = _renorm_psum(
                 _partial_evals(gate, gate_params, eq, xs, None), AXIS
             )
@@ -119,56 +145,89 @@ def _make_sharded_fn(gate: Gate, bn: int, n_tables: int, mesh: Mesh):
             r = mimc_hash_device(coeffs)
             eq = _fold(eq, r, None)
             xs = [_fold(x, r, None) for x in xs]
-            coeffs_rounds.append(coeffs)
-            challenges.append(r)
+            return (
+                eq[:, None],
+                tuple(x[:, None] for x in xs),
+                coeffs,
+                r,
+            )
 
-        # Phase 2: gather the per-shard scalars and finish replicated.
-        if log_d > 0:
-            eq = jnp.moveaxis(jax.lax.all_gather(eq[..., 0], AXIS), -1, 0)
-            xs = [
-                jnp.moveaxis(jax.lax.all_gather(x[..., 0], AXIS), -1, 0)
-                for x in xs
-            ]
-            for _ in range(log_d):
-                evals = _partial_evals(gate, gate_params, eq, xs, None)
-                coeffs = lagrange.interpolate_on_range_device(evals)
-                r = mimc_hash_device(coeffs)
-                eq = _fold(eq, r, None)
-                xs = [_fold(x, r, None) for x in xs]
-                coeffs_rounds.append(coeffs)
-                challenges.append(r)
+        sh = P(None, AXIS, None)
+        in_specs = (P(), sh) + tuple(sh for _ in range(n_tables))
+        out_specs = (sh, tuple(sh for _ in range(n_tables)), P(), P())
+        f = _shmap(body, mesh, in_specs, out_specs,
+                   donate=tuple(range(1, 2 + n_tables)) if donate else ())
+        _ROUND_CACHE[key] = f
+    return f
 
-        final_claims = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
-        final_claims = jnp.moveaxis(
-            fr.canonicalize(jnp.moveaxis(final_claims, -1, 0)), 0, -1
-        )
-        proof = jnp.stack([jnp.moveaxis(c, 0, -1) for c in coeffs_rounds], axis=0)
-        chals = jnp.stack(challenges, axis=0)
-        return _canon_rows(proof), _canon_rows(chals), final_claims
 
-    from jax.experimental.shard_map import shard_map
+def _gather_fn(n_tables: int, mesh: Mesh):
+    """Local size 1 -> replicated (16, D) tables (the sharded->replicated
+    tail transition, SURVEY.md §5 'shrinking tables')."""
+    key = (n_tables, mesh)
+    f = _GATHER_CACHE.get(key)
+    if f is None:
+        def body(eq_b, *xs_blocks):
+            def g(b):
+                return jnp.moveaxis(jax.lax.all_gather(b[:, 0, 0], AXIS), -1, 0)
 
-    in_specs = (P(), P(), P()) + tuple(P(None, AXIS, None) for _ in range(n_tables))
-    out_specs = (P(), P(), P())
-    f = jax.jit(
-        shard_map(
-            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
-        )
-    )
-    _SHARDED_CACHE[key] = f
+            return g(eq_b), tuple(g(b) for b in xs_blocks)
+
+        sh = P(None, AXIS, None)
+        f = _shmap(body, mesh, (sh,) + tuple(sh for _ in range(n_tables)),
+                   (P(), tuple(P() for _ in range(n_tables))))
+        _GATHER_CACHE[key] = f
     return f
 
 
 def prove_sharded(xs_sharded, qprimes, claims, gate: Gate, mesh: Mesh) -> SumcheckProof:
     """Sharded analog of sumcheck.prover.prove: xs are (16, D, M) cyclic
-    tables; outputs identical to the single-chip prover."""
+    tables; outputs bit-identical to the single-chip prover."""
+    from ..sumcheck import prover as sp
+
     bn = int(qprimes.shape[1])
     if claims is None:
-        from ..sumcheck.prover import _no_claims
+        claims = sp._no_claims()
+    d = mesh.shape[AXIS]
+    log_d = int(np.log2(d))
+    local_bn = bn - log_d
+    assert local_bn >= 0, "hypercube smaller than the mesh"
 
-        claims = _no_claims()
-    f = _make_sharded_fn(gate, bn, len(xs_sharded), mesh)
-    proof, chals, fc = f(gate.params(), qprimes, claims, *xs_sharded)
+    # XLA:CPU collective rendezvous aborts if a device thread lags >40s
+    # behind its peers — on oversubscribed hosts (2 cores / 8 virtual
+    # devices) a deep async queue of collective programs does exactly that.
+    # Serialize dispatches on CPU; on TPU the async pipeline stays deep.
+    sync = jax.devices()[0].platform == "cpu"
+
+    eq = _eq_fn(mesh, local_bn)(qprimes, claims)
+    xs = tuple(xs_sharded)
+
+    head_coeffs, head_rs = [], []
+    for k in range(local_bn):
+        f = _round_fn(gate, len(xs), mesh, donate=k > 0)
+        eq, xs, coeffs, r = f(gate.params(), eq, *xs)
+        head_coeffs.append(coeffs)
+        head_rs.append(r)
+        if sync:
+            jax.block_until_ready(r)
+
+    # replicated tail: gather the per-shard scalars, reuse the single-chip
+    # tail program (identical math -> identical transcript)
+    eq, xs = _gather_fn(len(xs), mesh)(eq, *xs)
+    if sync:
+        jax.block_until_ready(eq)
+    if log_d > 0:
+        tail_coeffs, tail_rs, final_claims = sp._tail_jit_keep(
+            gate, gate.params(), eq, list(xs)
+        )
+    else:
+        tail_coeffs = tail_rs = None
+        final_claims = sp._final_claims_jit(eq, tuple(xs))
+
+    proof, chals, fc = sp._package_jit(
+        len(head_coeffs), gate.degree + 2, tuple(head_coeffs), tuple(head_rs),
+        tail_coeffs, tail_rs, final_claims,
+    )
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
 
 
@@ -229,9 +288,26 @@ def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRPr
 def dryrun(n_devices: int) -> None:
     """Driver hook: jit the full sharded GKR prove over an n_devices mesh
     and run one step on tiny shapes."""
+    import os
+
     from ..models.mimc import mimc_circuit
     from ..utils.common import random_fr_array
     from ..utils.convert import ints_to_rows
+
+    # Force the virtual CPU mesh BEFORE any device query: a TPU plugin
+    # sitecustomize may clobber JAX_PLATFORMS, and once a backend is
+    # initialized the platform can no longer be switched. (make_mesh
+    # raises a clear error if this came too late to take effect.)
+    if os.environ.get("GKR_DRYRUN_REAL_DEVICES") != "1":
+        flag = f"--xla_force_host_platform_device_count={n_devices}"
+        if "--xla_force_host_platform_device_count" not in os.environ.get(
+            "XLA_FLAGS", ""
+        ):
+            os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " " + flag
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     mesh = make_mesh(n_devices)
     log_d = int(np.log2(n_devices))

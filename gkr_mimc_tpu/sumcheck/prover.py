@@ -182,6 +182,138 @@ def _round_step(gate, gate_params, eq, xs, active_mid):
     return eq, xs, coeffs, r
 
 
+# --------------------------------------------------------------------------
+# Per-round compiled programs.
+#
+# The round at table size 2**k is the SAME program for every layer and every
+# bn (the Fiat-Shamir chain lives in the data, not the shape), so each
+# (gate, n_tables, size) compiles exactly once per process — a GKR walk of
+# 94 layers at bn=17 reuses ~10 round programs instead of compiling one
+# monolithic graph per (gate, claim-count, bn). Rounds after the first
+# donate their input tables (the fold halves them; the originals are dead).
+# --------------------------------------------------------------------------
+
+_ROUND_JIT_CACHE: dict = {}
+
+
+def _can_donate() -> bool:
+    # XLA:CPU ignores donation (and warns); only donate on device backends.
+    # NB: jax.default_backend() reports the plugin's platform even when CPU
+    # devices are forced (axon), so inspect the actual device list.
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_jit(gate: Gate, donate: bool):
+    donate = donate and _can_donate()
+    key = (gate, donate)
+    f = _ROUND_JIT_CACHE.get(key)
+    if f is None:
+        def run(gate_params, eq, xs):
+            eq2, xs2, coeffs, r = _round_step(gate, gate_params, eq, list(xs), None)
+            return eq2, tuple(xs2), coeffs, r
+
+        donate_argnums = (1, 2) if donate else ()
+        f = jax.jit(run, donate_argnums=donate_argnums)
+        _ROUND_JIT_CACHE[key] = f
+    return f
+
+
+def _tail_body(gate: Gate, gate_params, eq, xs):
+    """All remaining rounds once the table is small: one fixed-shape masked
+    lax.scan (compiled once per gate and tail size, reused by every layer)."""
+    n = eq.shape[-1]
+    tail_rounds = n.bit_length() - 1
+
+    def body(carry, _):
+        eq_c, xs_c, active_mid = carry
+        eq_c, xs_c, coeffs, r = _round_step(
+            gate, gate_params, eq_c, list(xs_c), active_mid
+        )
+        return (eq_c, tuple(xs_c), active_mid // 2), (coeffs, r)
+
+    (eq, xs_t, _), (tail_coeffs, tail_rs) = jax.lax.scan(
+        body, (eq, tuple(xs), jnp.uint32(n // 2)), None, length=tail_rounds
+    )
+    final_claims = _final_claims(eq, list(xs_t))
+    return tail_coeffs, tail_rs, final_claims
+
+
+# donate only when the inputs are fresh intermediates (head rounds ran); at
+# small bn the tail consumes the caller's assignment tables, which other
+# layers still read (e.g. the 91-consumer fan-out table).
+_tail_jit_keep = partial(jax.jit, static_argnums=(0,))(_tail_body)
+_tail_jit_donate = partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(
+    _tail_body
+)
+
+
+def _final_claims(eq, xs):
+    fc = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
+    fc = fr.canonicalize(jnp.moveaxis(fc, -1, 0))
+    return jnp.moveaxis(fc, 0, -1)
+
+
+_make_eq_jit = jax.jit(_make_eq)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _package_jit(n_head: int, n_evals: int, head_coeffs, head_rs, tail_coeffs,
+                 tail_rs, final_claims):
+    """Stack per-round artifacts into the proof tensors (canonical form)."""
+    coeffs = [jnp.moveaxis(c, 0, -1) for c in head_coeffs]
+    rs = list(head_rs)
+    if tail_coeffs is not None:
+        t = tail_coeffs.shape[0]
+        coeffs += [jnp.moveaxis(tail_coeffs[i], 0, -1) for i in range(t)]
+        rs += [tail_rs[i] for i in range(t)]
+    if coeffs:
+        proof = _canon_rows(jnp.stack(coeffs, axis=0))
+        chals = _canon_rows(jnp.stack(rs, axis=0))
+    else:
+        proof = jnp.zeros((0, n_evals, fr.L), dtype=jnp.uint32)
+        chals = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+    return proof, chals, final_claims
+
+
+_final_claims_jit = jax.jit(lambda eq, xs: _final_claims(eq, list(xs)))
+
+
+def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
+    """Round orchestration: per-size jitted head rounds + one masked-scan
+    tail program. All dispatches are async — no host syncs in the chain."""
+    bn = qprimes.shape[1]
+    n_evals = gate.degree + 2
+    eq = _make_eq_jit(qprimes, claims)
+
+    head_coeffs = []
+    head_rs = []
+    n = 1 << bn
+    xs = tuple(xs)
+    first = True
+    while n > (1 << _tail_bits()):
+        f = _round_jit(gate, donate=not first)
+        eq, xs, coeffs, r = f(gate_params, eq, xs)
+        head_coeffs.append(coeffs)
+        head_rs.append(r)
+        n //= 2
+        first = False
+
+    if n > 1:
+        tail = _tail_jit_donate if (not first and _can_donate()) else _tail_jit_keep
+        tail_coeffs, tail_rs, final_claims = tail(gate, gate_params, eq, xs)
+    else:
+        tail_coeffs = tail_rs = None
+        final_claims = _final_claims_jit(eq, xs)
+
+    return _package_jit(
+        len(head_coeffs), n_evals, tuple(head_coeffs), tuple(head_rs),
+        tail_coeffs, tail_rs, final_claims,
+    )
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
     bn = qprimes.shape[1]
@@ -254,7 +386,7 @@ def prove(xs, qprimes, claims, gate: Gate) -> SumcheckProof:
     if claims is None:
         assert qprimes.shape[0] == 1
         claims = _no_claims()
-    proof, chals, fc = _prove_jit(gate, gate.params(), list(xs), qprimes, claims)
+    proof, chals, fc = _prove_rounds(gate, gate.params(), list(xs), qprimes, claims)
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
 
 
