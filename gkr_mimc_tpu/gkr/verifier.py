@@ -13,13 +13,14 @@ tables) run on device; the per-round transcript checks are host ints.
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 from ..circuits.circuit import Circuit
 from ..fields import fr
 from ..poly import multilin
 from ..poly.lagrange import eval_univariate
 from ..sumcheck import verifier as sumcheck_verifier
-from ..utils.convert import rows_to_ints, ints_to_rows
+from ..utils.convert import rows_to_ints
 from .prover import GKRProof
 
 
@@ -29,40 +30,87 @@ class GKRError(Exception):
 
 _evaluate_jit = jax.jit(multilin.evaluate)
 
-
-def _eval_table(table, qprime_rows) -> int:
-    """Device multilinear evaluation -> host int."""
-    out = _evaluate_jit(table, jax.numpy.asarray(qprime_rows))
-    return fr.to_int(out[:, None])
+_concat_flat = jax.jit(
+    lambda *xs: jax.numpy.concatenate(
+        [x.reshape(-1) for x in xs if x.size] or [jax.numpy.zeros(0, "uint32")]
+    )
+)
 
 
 def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> None:
     """inputs: list of (16, N) input tables; outputs: (16, N) output table;
-    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid."""
+    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid.
+
+    Transfer discipline: every device->host copy in the whole verification
+    is batched into ONE jax.device_get (async copies, one round trip) — a
+    per-artifact device_get costs a full tunnel round trip on remote TPU
+    backends and made verification slower than proving."""
     nlayers = len(circuit)
 
-    # hostify the proof's small artifacts once
+    # dispatch the O(2**bn) multilinear evals (still async at this point)
+    out_eval_dev = _evaluate_jit(outputs, jax.numpy.asarray(qprime))[:, None]
+    in_evals_dev = [
+        _evaluate_jit(inputs[l], proof.qprimes[l][0])[:, None]
+        for l in range(len(inputs))
+    ]
+
+    # ONE transfer for everything the host math needs. A multi-leaf
+    # device_get does one RPC round trip PER LEAF on remote backends, so
+    # all ~2+3N ragged artifacts are first concatenated into a single flat
+    # device buffer (one jitted concat, cached per circuit shape) and
+    # fetched with a single copy.
+    leaves = (
+        [c for c in proof.claims if c is not None]
+        + [q for q in proof.qprimes if q is not None]
+        + [p.coeffs for p in proof.sumcheck_proofs if p is not None]
+        + [out_eval_dev]
+        + in_evals_dev
+        + [jax.numpy.asarray(qprime)]
+    )
+    flat = np.asarray(jax.device_get(_concat_flat(*leaves)))
+    out_leaves = []
+    off = 0
+    for l in leaves:
+        size = int(np.prod(l.shape)) if l.shape else 1
+        out_leaves.append(flat[off : off + size].reshape(l.shape))
+        off += size
+    it = iter(out_leaves)
+
+    def take(seq):
+        return [next(it) if s is not None else None for s in seq]
+
+    claims_np = take(proof.claims)
+    qprimes_np = take(proof.qprimes)
+    coeffs_np = take(proof.sumcheck_proofs)
+    host = {
+        "out_eval": next(it),
+        "in_evals": [next(it) for _ in in_evals_dev],
+        "qprime": next(it),
+    }
+
     claims_int = [
-        rows_to_ints(c) if c is not None and c.shape[0] else [] for c in proof.claims
+        rows_to_ints(c) if c is not None and c.shape[0] else [] for c in claims_np
     ]
     qprimes_int = [
-        rows_to_ints(q) if q is not None and q.shape[0] else [] for q in proof.qprimes
+        rows_to_ints(q) if q is not None and q.shape[0] else [] for q in qprimes_np
     ]
-    qprime_int = rows_to_ints(qprime)
+    qprime_int = rows_to_ints(host["qprime"])
 
     if qprimes_int[nlayers - 1][0] != qprime_int:
         raise GKRError("initial qPrime does not match the proof")
 
     # the verifier computes the output claim itself (gkr/verifier.go:35-37)
-    claims_int[nlayers - 1] = claims_int[nlayers - 1] + [_eval_table(outputs, qprime)]
+    claims_int[nlayers - 1] = claims_int[nlayers - 1] + [
+        fr.to_int(host["out_eval"])
+    ]
 
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):
             break
-        _test_sumcheck(circuit, proof, claims_int, qprimes_int, layer)
+        _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, layer)
 
     for layer in range(len(inputs)):
-        got = _eval_table(inputs[layer], ints_to_rows(qprimes_int[layer][0]))
+        got = fr.to_int(host["in_evals"][layer])
         if got != claims_int[layer][0]:
             raise GKRError(
                 f"input layer {layer} check failed: claim {claims_int[layer][0]} "
@@ -70,8 +118,8 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
             )
 
 
-def _test_sumcheck(circuit, proof, claims_int, qprimes_int, layer) -> None:
-    coeffs_int = rows_to_ints(proof.sumcheck_proofs[layer].coeffs)
+def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, layer) -> None:
+    coeffs_int = rows_to_ints(coeffs_np[layer])
 
     try:
         next_qprime, next_claim, recomb_chal = sumcheck_verifier.verify(
