@@ -1,0 +1,84 @@
+"""Keccak-256 (legacy pre-NIST padding), pure Python.
+
+The reference derives the GKR initial randomness by Keccak-hashing an
+uncompressed BN254 G1 point (prover/gadget/hints.go:148-159, using
+sha3.NewLegacyKeccak256). Python's hashlib only ships NIST SHA3 (domain
+byte 0x06); Ethereum-style Keccak pads with 0x01, so we implement the
+sponge here. Host-side only: it hashes one 64-byte point per proof, so
+speed is irrelevant.
+"""
+
+from __future__ import annotations
+
+_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+
+# rotation offsets, indexed [x][y]
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+_MASK = (1 << 64) - 1
+
+
+def _rotl(x: int, n: int) -> int:
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & _MASK
+
+
+def _keccak_f(a: list[list[int]]) -> None:
+    for rnd in range(24):
+        # theta
+        c = [a[x][0] ^ a[x][1] ^ a[x][2] ^ a[x][3] ^ a[x][4] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rotl(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                a[x][y] ^= d[x]
+        # rho + pi
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rotl(a[x][y], _ROT[x][y])
+        # chi
+        for x in range(5):
+            for y in range(5):
+                a[x][y] = b[x][y] ^ ((~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y])
+        # iota
+        a[0][0] ^= _RC[rnd]
+
+
+def keccak256(data: bytes) -> bytes:
+    """Ethereum-style Keccak-256 digest of `data`."""
+    rate = 136  # bytes; capacity 512 bits
+    # multi-rate padding with legacy domain byte 0x01
+    pad_len = rate - (len(data) % rate)
+    padded = bytearray(data) + bytearray(pad_len)
+    padded[len(data)] ^= 0x01
+    padded[-1] ^= 0x80
+
+    state = [[0] * 5 for _ in range(5)]
+    for block_off in range(0, len(padded), rate):
+        block = padded[block_off : block_off + rate]
+        for i in range(rate // 8):
+            lane = int.from_bytes(block[8 * i : 8 * i + 8], "little")
+            x, y = i % 5, i // 5
+            state[x][y] ^= lane
+        _keccak_f(state)
+
+    out = bytearray()
+    for i in range(4):  # 32 bytes = 4 lanes
+        x, y = i % 5, i // 5
+        out += state[x][y].to_bytes(8, "little")
+    return bytes(out)
