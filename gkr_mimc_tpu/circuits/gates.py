@@ -33,6 +33,11 @@ class Gate:
         """Host oracle on Python ints."""
         raise NotImplementedError
 
+    def gnark_eval(self, cs, xs):
+        """Evaluate inside a constraint system (Gate.GnarkEval,
+        circuit/gates.go:12-13); xs are snark.cs Variables."""
+        raise NotImplementedError
+
     # jit specialization key: gates of the same type compile once —
     # parameters (e.g. Ark) are traced, so e.g. all 91 cipher layers share
     # one compiled kernel.
@@ -69,6 +74,15 @@ class CipherGate(Gate):
     def eval_scalar(self, xs):
         return scalar.pow7(scalar.add(scalar.add(xs[1], self.ark), xs[0]))
 
+    def gnark_eval(self, cs, xs):
+        # (vL + vR + ark)^7, the x^7 as the 4-mul chain of
+        # circuit/gates/cipher.go GnarkEval
+        t = cs.add(xs[0], xs[1], cs.constant(self.ark))
+        tmp = cs.mul(t, t)  # ^2
+        tmp = cs.mul(t, tmp)  # ^3
+        tmp = cs.mul(tmp, tmp)  # ^6
+        return cs.mul(t, tmp)  # ^7
+
 
 class IdentityGate(Gate):
     """Copies vL; the explicit multi-instance fan-out gate
@@ -84,6 +98,9 @@ class IdentityGate(Gate):
     def eval_scalar(self, xs):
         return xs[0]
 
+    def gnark_eval(self, cs, xs):
+        return xs[0]
+
 
 class AddGate(Gate):
     """vL + vR (modernized from circuit/gates/add.go:9-43)."""
@@ -97,6 +114,9 @@ class AddGate(Gate):
     def eval_scalar(self, xs):
         return scalar.add(xs[0], xs[1])
 
+    def gnark_eval(self, cs, xs):
+        return cs.add(xs[0], xs[1])
+
 
 class MulGate(Gate):
     """vL * vR (modernized from circuit/gates/mul.go:9-41)."""
@@ -109,6 +129,9 @@ class MulGate(Gate):
 
     def eval_scalar(self, xs):
         return scalar.mul(xs[0], xs[1])
+
+    def gnark_eval(self, cs, xs):
+        return cs.mul(xs[0], xs[1])
 
 
 class SBoxGate(Gate):
@@ -124,6 +147,13 @@ class SBoxGate(Gate):
 
     def eval_scalar(self, xs):
         return scalar.pow7(xs[0])
+
+    def gnark_eval(self, cs, xs):
+        t = xs[0]
+        tmp = cs.mul(t, t)
+        tmp = cs.mul(t, tmp)
+        tmp = cs.mul(tmp, tmp)
+        return cs.mul(t, tmp)
 
 
 class LinearGate(Gate):
@@ -167,6 +197,12 @@ class LinearGate(Gate):
             acc = scalar.add(acc, scalar.mul(c, x))
         return acc
 
+    def gnark_eval(self, cs, xs):
+        acc = cs.constant(self.const)
+        for c, x in zip(self.coeffs, xs):
+            acc = cs.add(acc, cs.mul(cs.constant(c), x))
+        return acc
+
 
 class AffineGate(Gate):
     """c0*vL + c1*vR + c2 — general linear-combination gate used to express
@@ -194,4 +230,11 @@ class AffineGate(Gate):
         return scalar.add(
             scalar.add(scalar.mul(self.c0, xs[0]), scalar.mul(self.c1, xs[1])),
             self.c2,
+        )
+
+    def gnark_eval(self, cs, xs):
+        return cs.add(
+            cs.mul(cs.constant(self.c0), xs[0]),
+            cs.mul(cs.constant(self.c1), xs[1]),
+            cs.constant(self.c2),
         )

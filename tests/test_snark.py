@@ -1,0 +1,135 @@
+"""In-circuit verifier mirror tests (parity: snark/hash/mimc_test.go,
+snark/polynomial/univariate_test.go, snark/sumcheck/sumcheck_test.go,
+snark/gkr/gkr_test.go — satisfiability via the eager tracer instead of
+gnark's test.IsSolved)."""
+
+import jax.numpy as jnp
+import pytest
+
+from gkr_mimc_tpu import snark
+from gkr_mimc_tpu.circuits import circuit as circ_mod
+from gkr_mimc_tpu.fields import fr
+from gkr_mimc_tpu.gkr import prover as gkr_prover
+from gkr_mimc_tpu.hashes.mimc import mimc_hash
+from gkr_mimc_tpu.models.mimc import mimc_circuit
+from gkr_mimc_tpu.snark.cs import ConstraintSystem, UnsatisfiedConstraint
+from gkr_mimc_tpu.sumcheck import prover as sc_prover
+from gkr_mimc_tpu.sumcheck import testing as sc_testing
+from gkr_mimc_tpu.sumcheck import verifier as sc_verifier
+from gkr_mimc_tpu.utils.common import get_challenge, random_fr_array
+from gkr_mimc_tpu.utils.convert import ints_to_rows, rows_to_ints
+
+BN = 2
+N = 1 << BN
+
+
+def test_in_circuit_mimc_matches_native():
+    """snark/hash/mimc_test.go:54-71: the gadget hash == native hash, so
+    in-circuit Fiat-Shamir challenges match the prover's transcript."""
+    cs = ConstraintSystem()
+    msgs = random_fr_array(3)
+    out = snark.mimc_hash(cs, *[cs.witness(m) for m in msgs])
+    assert out.value == mimc_hash(msgs)
+    assert out.value == get_challenge(msgs)
+    # 91 rounds x 4 muls per message word
+    assert cs.nb_multiplications == 3 * 91 * 4
+
+
+def test_univariate_known_answer():
+    """snark/polynomial/univariate_test.go:30-49-style Horner check."""
+    cs = ConstraintSystem()
+    # p(x) = 1 + 2x + 3x^2 at x=5 -> 86
+    p = snark.Univariate.from_ints(cs, [1, 2, 3])
+    assert p.eval(cs, cs.witness(5)).value == 86
+    assert p.zero_and_one(cs).value == (1) + (1 + 2 + 3)
+
+
+def test_multilin_eval_matches_host():
+    from gkr_mimc_tpu.poly import multilin
+
+    cs = ConstraintSystem()
+    values = random_fr_array(8)
+    point = random_fr_array(3)
+    m = snark.MultiLin.from_ints(cs, values)
+    got = m.eval(cs, [cs.witness(x) for x in point])
+    assert got.value == multilin.evaluate_scalar(values, point)
+
+
+@pytest.mark.parametrize("fixture", ["cipher", "multi"])
+def test_in_circuit_sumcheck(fixture):
+    """snark/sumcheck/sumcheck_test.go:59-89: a native proof satisfies the
+    in-circuit sumcheck and produces the same challenges/final claim."""
+    if fixture == "cipher":
+        xs, claims_int, qprimes_int, gate = sc_testing.initialize_cipher_gate_instance(BN)
+    else:
+        xs, claims_int, qprimes_int, gate = sc_testing.initialize_multi_instance(BN, 5)
+    qp = sc_testing.to_device_qprimes(qprimes_int)
+    cl = sc_testing.to_device_claims(claims_int)
+    scp = sc_prover.prove(xs, qp, cl, gate)
+    coeffs_int = rows_to_ints(scp.coeffs)
+
+    chals_native, final_native, recomb_native = sc_verifier.verify(
+        claims_int, coeffs_int
+    )
+
+    cs = ConstraintSystem()
+    proof_var = snark.SumcheckProof.from_ints(cs, coeffs_int)
+    qprime, final, recomb = proof_var.assert_valid(
+        cs, [cs.witness(c) for c in claims_int]
+    )
+    assert [h.value for h in qprime] == chals_native
+    assert final.value == final_native
+    assert recomb.value == recomb_native
+
+
+@pytest.fixture(scope="module")
+def gkr_setup():
+    c = mimc_circuit()
+    block = fr.from_ints_mont(random_fr_array(N))
+    state = fr.from_ints_mont(random_fr_array(N))
+    a = circ_mod.assign(c, [block, state])
+    qprime_int = random_fr_array(BN)
+    qprime = jnp.asarray(ints_to_rows(qprime_int))
+    proof = gkr_prover.prove(c, a, qprime)
+    return c, a, qprime_int, proof
+
+
+def _assert_valid(c, a, qprime_int, proof):
+    cs = ConstraintSystem()
+    proof_var = snark.Proof.assign(cs, c, proof)
+    inputs = [snark.MultiLin.from_ints(cs, fr.to_ints(a[l])) for l in (0, 1)]
+    outputs = snark.MultiLin.from_ints(cs, fr.to_ints(a[-1]))
+    qprime = [cs.witness(q) for q in qprime_int]
+    proof_var.assert_valid(cs, c, qprime, inputs, outputs)
+    return cs
+
+
+def test_in_circuit_gkr_valid_and_cost(gkr_setup):
+    """snark/gkr/gkr_test.go:67-108 + the constraint-count printf
+    (gkr_test.go:123-124): the whole MiMC-91 batch verifies in-circuit."""
+    cs = _assert_valid(*gkr_setup)
+    assert cs.nb_constraints > 0
+    # the design claim: in-circuit cost ~ bN*94 hashes + 3*2^bN fold muls,
+    # i.e. way below the 91*4 muls/hash of direct in-circuit MiMC
+    direct = N * 91 * 4
+    print(f"GKR verifier constraints at bn={BN}: {cs.nb_constraints} "
+          f"(direct MiMC: {direct})")
+
+
+def test_in_circuit_gkr_rejects_tamper(gkr_setup):
+    c, a, qprime_int, proof = gkr_setup
+    import numpy as np
+
+    bad_coeffs = np.asarray(proof.sumcheck_proofs[50].coeffs).copy()
+    bad_coeffs[1, 2, 0] ^= 3
+    tampered = gkr_prover.GKRProof(
+        list(proof.sumcheck_proofs), list(proof.claims), list(proof.qprimes)
+    )
+    from gkr_mimc_tpu.sumcheck.prover import SumcheckProof
+
+    orig = proof.sumcheck_proofs[50]
+    tampered.sumcheck_proofs[50] = SumcheckProof(
+        jnp.asarray(bad_coeffs), orig.challenges, orig.final_claims
+    )
+    with pytest.raises(UnsatisfiedConstraint):
+        _assert_valid(c, a, qprime_int, tampered)
