@@ -123,13 +123,21 @@ def msm(points: list, scalars: list[int]) -> tuple:
     """Pippenger multi-scalar multiplication: sum_i scalars[i] * points[i].
 
     points are Jacobian tuples; scalars arbitrary ints (reduced mod r).
-    Window size picked from the batch size like gnark-crypto does; for the
-    gadget's workloads (3 * 2^bN scalars once per proof) this is plenty.
+    Dispatches to the native C++ runtime (native/bn254.cpp) when the
+    toolchain is available — the gadget's workloads are 3 * 2^bN scalars
+    once per proof, far past what Python ints sustain — with this pure
+    implementation as the always-on fallback and equivalence oracle.
     """
     assert len(points) == len(scalars)
     n = len(points)
     if n == 0:
         return INF
+    if n > 16:
+        from .. import native
+
+        r = native.msm(points, scalars)
+        if r is not None:
+            return r
     scalars = [s % R for s in scalars]
     c = max(2, min(16, n.bit_length()))  # window bits
     nbits = R.bit_length()

@@ -60,7 +60,18 @@ def _keccak_f(a: list[list[int]]) -> None:
 
 
 def keccak256(data: bytes) -> bytes:
-    """Ethereum-style Keccak-256 digest of `data`."""
+    """Ethereum-style Keccak-256 digest of `data`; prefers the native
+    runtime (native/bn254.cpp gkr_keccak256), falling back to the pure
+    sponge below (always correct, used as the equivalence oracle)."""
+    from .. import native
+
+    d = native.keccak256(data)
+    if d is not None:
+        return d
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
     rate = 136  # bytes; capacity 512 bits
     # multi-rate padding with legacy domain byte 0x01
     pad_len = rate - (len(data) % rate)

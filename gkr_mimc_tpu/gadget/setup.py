@@ -42,12 +42,21 @@ def dummy_setup(n_pub: int, n_priv: int, seed: bytes = b"gkr-mimc-tpu") -> Gadge
     (fine for tests, same trust model as DummySetup's random DeltaNeg)."""
     gen = g1.to_jac(g1.GEN)
     sigma = _hash_to_scalar(seed, 0xFFFFFFFF) or 1
-    pub = [g1.scalar_mul(gen, _hash_to_scalar(seed + b"pub", i)) for i in range(n_pub)]
-    priv = [
-        g1.scalar_mul(gen, _hash_to_scalar(seed + b"priv", i)) for i in range(n_priv)
-    ]
-    # MarkWithSigma (setup.go:133-146): privKGkrSigma = σ·privKGkr
-    priv_sigma = [g1.scalar_mul(p, sigma) for p in priv]
+    h_pub = [_hash_to_scalar(seed + b"pub", i) for i in range(n_pub)]
+    h_priv = [_hash_to_scalar(seed + b"priv", i) for i in range(n_priv)]
+    # MarkWithSigma (setup.go:133-146): privKGkrSigma = σ·privKGkr; since
+    # privKGkr_i = h_i·G the marked key is (σ·h_i mod r)·G — a fixed-base
+    # batch the native runtime turbocharges with one shared window table.
+    h_priv_sigma = [sigma * h % g1.R for h in h_priv]
+
+    from .. import native
+
+    pub = native.batch_scalar_mul(gen, h_pub) if h_pub else []
+    priv_sigma = native.batch_scalar_mul(gen, h_priv_sigma) if h_priv_sigma else []
+    if pub is None:
+        pub = [g1.scalar_mul(gen, h) for h in h_pub]
+    if priv_sigma is None:
+        priv_sigma = [g1.scalar_mul(gen, h) for h in h_priv_sigma]
     return GadgetSetup(
         pub_k_gkr=pub,
         priv_k_gkr_sigma=priv_sigma,
