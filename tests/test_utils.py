@@ -1,0 +1,85 @@
+"""Profiling harness + multi-host helpers (single-process on the virtual
+8-device mesh; real DCN runs reuse the identical code paths)."""
+
+import numpy as np
+import jax
+
+from gkr_mimc_tpu.fields import fr
+from gkr_mimc_tpu.parallel import mesh as pmesh
+from gkr_mimc_tpu.parallel import multihost
+from gkr_mimc_tpu.utils import profiling
+
+
+def test_timer_and_phase_report():
+    profiling.phase_report(reset=True)
+    with profiling.timed("unit-phase", verbose=False) as t:
+        x = jax.numpy.ones((8,))
+        t.sync_on(x * 2)
+    assert t.elapsed_ms is not None and t.elapsed_ms >= 0
+    rep = profiling.phase_report(reset=True)
+    assert rep["unit-phase"]["count"] == 1
+    assert rep["unit-phase"]["total_ms"] == t.elapsed_ms
+
+
+def test_profile_trace_writes(tmp_path, monkeypatch):
+    with profiling.profile_trace("unit", root=str(tmp_path)) as p:
+        jax.numpy.arange(4).sum().block_until_ready()
+    files = list((tmp_path / "unit").rglob("*"))
+    assert p is not None and files, "trace directory should be populated"
+    monkeypatch.setenv("GKR_PROFILE", "0")
+    with profiling.profile_trace("off", root=str(tmp_path)) as p2:
+        pass
+    assert p2 is None
+
+
+def test_multihost_initialize_noop_single_process():
+    multihost.initialize()  # must not raise in a single-process run
+    rep = multihost.process_local_report()
+    assert rep["process_count"] == 1
+    assert rep["global_devices"] >= 8
+
+
+def test_shard_table_global_matches_device_put():
+    mesh = multihost.make_global_mesh()
+    d = mesh.shape[pmesh.AXIS]
+    n = 8 * d
+    x = fr.from_ints_mont(list(range(n)))
+    want = pmesh.shard_table(x, mesh)
+
+    x_np = np.asarray(x)
+
+    def fill(shard, m):
+        idx = shard + d * np.arange(m)
+        return x_np[:, idx]
+
+    got = multihost.shard_table_global(mesh, n, fill)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # and it round-trips through the unshard view
+    assert np.array_equal(np.asarray(pmesh.unshard_table(got)), x_np)
+
+
+def test_prove_sharded_on_global_arrays():
+    from gkr_mimc_tpu.sumcheck import prover as sc_prover
+    from gkr_mimc_tpu.sumcheck import testing as sc_testing
+
+    mesh = multihost.make_global_mesh()
+    d = mesh.shape[pmesh.AXIS]
+    bn = 4
+    xs, claims_int, qprimes_int, gate = sc_testing.initialize_cipher_gate_instance(bn)
+    qp = sc_testing.to_device_qprimes(qprimes_int)
+    cl = sc_testing.to_device_claims(claims_int)
+    single = sc_prover.prove(xs, qp, cl, gate)
+
+    def make_global(x):
+        x_np = np.asarray(x)
+
+        def fill(shard, m):
+            return x_np[:, shard + d * np.arange(m)]
+
+        return multihost.shard_table_global(mesh, x_np.shape[1], fill)
+
+    sharded = pmesh.prove_sharded([make_global(x) for x in xs], qp, cl, gate, mesh)
+    assert np.array_equal(np.asarray(single.coeffs), np.asarray(sharded.coeffs))
+    assert np.array_equal(
+        np.asarray(single.challenges), np.asarray(sharded.challenges)
+    )
