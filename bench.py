@@ -3,15 +3,20 @@
 
 Measures MiMC hashes proven per second: deterministic inputs (the
 reference's RandomFrArray generator) -> witness assignment -> full 94-layer
-GKR proof -> host verification, on whatever backend JAX provides (the real
-TPU under the driver; CPU elsewhere).
+GKR proof -> batched host/device verification, on whatever backend JAX
+provides (the real TPU under the driver; CPU elsewhere).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline compares against an estimated single-EPYC throughput of the
-reference Go prover. The reference publishes no numbers (BASELINE.md);
-300k hashes/s is our good-faith estimate for `gkr.Prove`+`Assign` at
-bn=20 on a 64-core EPYC (sumcheck/prover_test.go harness workloads).
+Baseline model (the reference publishes no numbers, BASELINE.md): the Go
+prover's work is ~10.5k Montgomery muls per hash (92 layers x ~2x2^bn
+elements halving x (9 gate evals x 6 muls + 3 fold muls) / 2^bn hashes);
+a 64-core EPYC sustains ~2G 4x64 Montgomery muls/s (~30ns/mul/core via
+gnark-crypto's asm path), giving ~190k hashes/s of pure field math with
+zero parallelization overhead. We charge ourselves a conservative 300k
+hashes/s baseline (headroom for the reference's real-world efficiency);
+override with GKR_BASELINE_HASHES. The >=10x north-star claim
+(BASELINE.json) is measured against this documented model.
 """
 
 import json
@@ -32,20 +37,33 @@ from gkr_mimc_tpu.fields import fr
 from gkr_mimc_tpu.gkr import prover as gkr_prover
 from gkr_mimc_tpu.gkr import verifier as gkr_verifier
 from gkr_mimc_tpu.models.mimc import assign_fused, mimc_circuit
+from gkr_mimc_tpu.utils import precompile
 from gkr_mimc_tpu.utils.common import random_fr_array, random_fr_array_np
 from gkr_mimc_tpu.utils.convert import ints_to_rows
 
-EPYC_BASELINE_HASHES_PER_SEC = 300_000.0
+EPYC_BASELINE_HASHES_PER_SEC = float(
+    os.environ.get("GKR_BASELINE_HASHES", 300_000.0)
+)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
-    default_bn = 17 if on_tpu else 8
+    default_bn = 20 if on_tpu else 8
     bn = int(os.environ.get("GKR_BENCH_BN", default_bn))
     n = 1 << bn
     verify = os.environ.get("GKR_BENCH_VERIFY", "1") == "1"
 
     c = mimc_circuit()
+
+    # parallel AOT warm of every walk/verify program (persistent-cached)
+    t0 = time.time()
+    n_ok, fails = precompile.warm(c, bn, include_verify=verify)
+    log(f"# precompile: {n_ok} programs ({len(fails)} failed) in "
+        f"{time.time()-t0:.1f}s")
 
     # deterministic inputs, bit-exact with common/common.go:49-55
     key_np = random_fr_array_np(n)
@@ -54,32 +72,42 @@ def main():
     block = to_mont(jnp.asarray(fr.encode_uint64_array(key_np)))
     state = to_mont(jnp.asarray(fr.encode_uint64_array(state_np)))
     block.block_until_ready()
+    # warm the device->host transfer path (the first fetch on a tunneled
+    # backend pays a large one-time setup cost)
+    import numpy as _np
+    _np.asarray(jax.device_get(block[:, :1]))
 
     qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
 
     def run():
+        # return only the output table + proof: the other 93 assignment
+        # tables (6.3 GB at bn=20) must be freed before the next run, or
+        # two live assignments exceed HBM
         a = assign_fused(block, state)
         proof = gkr_prover.prove(c, a, qprime)
         proof.sumcheck_proofs[2].coeffs.block_until_ready()
-        return a, proof
+        return a[93], proof
 
-    # warmup (compiles, cached persistently)
+    # warmup (remaining compiles, all cached persistently)
     t0 = time.time()
-    a, proof = run()
+    out_table, proof = run()
     warm = time.time() - t0
-    print(f"# warmup (compile+run): {warm:.1f}s", file=sys.stderr)
+    log(f"# warmup (residual compile+run): {warm:.1f}s")
 
+    out_table = proof = None  # free HBM before the timed run
     t0 = time.time()
-    a, proof = run()
+    out_table, proof = run()
     dt = time.time() - t0
     hashes_per_sec = n / dt
-    print(f"# prove bn={bn}: {dt*1e3:.1f} ms -> {hashes_per_sec:,.0f} hashes/s",
-          file=sys.stderr)
+    log(f"# prove bn={bn}: {dt*1e3:.1f} ms -> {hashes_per_sec:,.0f} hashes/s")
 
     if verify:
         t0 = time.time()
-        gkr_verifier.verify(c, proof, [block, state], a[93], qprime)
-        print(f"# verify: {time.time()-t0:.1f}s OK", file=sys.stderr)
+        gkr_verifier.verify(c, proof, [block, state], out_table, qprime)
+        log(f"# verify (cold): {time.time()-t0:.1f}s OK")
+        t0 = time.time()
+        gkr_verifier.verify(c, proof, [block, state], out_table, qprime)
+        log(f"# verify (hot): {time.time()-t0:.2f}s OK")
 
     print(json.dumps({
         "metric": f"mimc_hashes_proven_per_sec_bn{bn}",

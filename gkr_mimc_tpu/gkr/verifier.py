@@ -6,17 +6,30 @@ the final-claim consistency expectedClaim = Gate(subclaims) *
 EvalUnivariate([EvalEq(qPrime_j, nextQ)]_j, recombChal); check qPrime
 consistency between layers; finally check each input table's evaluation.
 
-Hybrid execution: the O(2**bn) multilinear evaluations (output + input
-tables) run on device; the per-round transcript checks are host ints.
+Hybrid execution, engineered for a remote-device backend:
+  * the O(2**bn) multilinear evaluations (output + input tables) run on
+    device;
+  * ALL per-round Fiat-Shamir challenges r = MimcHash(coeffs) are
+    recomputed in ONE batched device program per coefficient-width class
+    (the reference does bn*nlayers sequential host hashes,
+    sumcheck/verifier.go:49 — at bn=17 that is ~14k hashes and seconds of
+    host time; batched on device it is one dispatch);
+  * every device->host copy is batched into ONE transfer;
+  * the remaining host work is O(bn * nlayers) tiny Horner chains on
+    Python ints.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..circuits.circuit import Circuit
 from ..fields import fr
+from ..hashes.mimc import mimc_hash_batch
 from ..poly import multilin
 from ..poly.lagrange import eval_univariate
 from ..sumcheck import verifier as sumcheck_verifier
@@ -37,14 +50,20 @@ _concat_flat = jax.jit(
 )
 
 
+@jax.jit
+def _hash_coeff_rows(*coeffs_rows):
+    """Batch Fiat-Shamir: G arrays of (R, K, 16) round-coefficient rows ->
+    (G, R, 16) challenges MimcHash(coeffs), all in one device program."""
+    stacked = jnp.stack(coeffs_rows)  # (G, R, K, 16)
+    g, r, k, _ = stacked.shape
+    msgs = jnp.transpose(stacked.reshape(g * r, k, fr.L), (2, 1, 0))  # (16,K,N)
+    hashed = mimc_hash_batch(msgs)  # (16, N)
+    return jnp.transpose(hashed, (1, 0)).reshape(g, r, fr.L)
+
+
 def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> None:
     """inputs: list of (16, N) input tables; outputs: (16, N) output table;
-    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid.
-
-    Transfer discipline: every device->host copy in the whole verification
-    is batched into ONE jax.device_get (async copies, one round trip) — a
-    per-artifact device_get costs a full tunnel round trip on remote TPU
-    backends and made verification slower than proving."""
+    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid."""
     nlayers = len(circuit)
 
     # dispatch the O(2**bn) multilinear evals (still async at this point)
@@ -54,15 +73,29 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
         for l in range(len(inputs))
     ]
 
-    # ONE transfer for everything the host math needs. A multi-leaf
-    # device_get does one RPC round trip PER LEAF on remote backends, so
-    # all ~2+3N ragged artifacts are first concatenated into a single flat
-    # device buffer (one jitted concat, cached per circuit shape) and
-    # fetched with a single copy.
+    # batch-recompute every round challenge on device, grouped by the
+    # (rounds, n_evals) shape class (cipher layers share one class, the
+    # identity fan-out layer its own)
+    groups: dict = {}
+    for l in range(nlayers):
+        p = proof.sumcheck_proofs[l]
+        if p is None or p.coeffs.shape[0] == 0:
+            continue
+        groups.setdefault(p.coeffs.shape, []).append(l)
+    chal_devs = {}
+    for shape, layers in groups.items():
+        chal_devs[shape] = _hash_coeff_rows(
+            *(proof.sumcheck_proofs[l].coeffs for l in layers)
+        )
+
+    # ONE transfer for everything the host math needs (a per-artifact
+    # device_get costs a full tunnel round trip on remote TPU backends).
+    chal_leaves = [chal_devs[s] for s in groups]
     leaves = (
         [c for c in proof.claims if c is not None]
         + [q for q in proof.qprimes if q is not None]
         + [p.coeffs for p in proof.sumcheck_proofs if p is not None]
+        + chal_leaves
         + [out_eval_dev]
         + in_evals_dev
         + [jax.numpy.asarray(qprime)]
@@ -82,6 +115,7 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
     claims_np = take(proof.claims)
     qprimes_np = take(proof.qprimes)
     coeffs_np = take(proof.sumcheck_proofs)
+    chals_np = {s: next(it) for s in groups}
     host = {
         "out_eval": next(it),
         "in_evals": [next(it) for _ in in_evals_dev],
@@ -96,6 +130,17 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
     ]
     qprime_int = rows_to_ints(host["qprime"])
 
+    # per-layer challenge lists from the batched device hashes
+    chals_int: list = [None] * nlayers
+    for shape, layers in groups.items():
+        rows = rows_to_ints(chals_np[shape])  # [g][round] ints
+        for g, l in enumerate(layers):
+            chals_int[l] = rows[g]
+    for l in range(nlayers):
+        p = proof.sumcheck_proofs[l]
+        if p is not None and p.coeffs.shape[0] == 0:
+            chals_int[l] = []
+
     if qprimes_int[nlayers - 1][0] != qprime_int:
         raise GKRError("initial qPrime does not match the proof")
 
@@ -107,7 +152,9 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):
             break
-        _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, layer)
+        _test_sumcheck(
+            circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer
+        )
 
     for layer in range(len(inputs)):
         got = fr.to_int(host["in_evals"][layer])
@@ -118,12 +165,12 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
             )
 
 
-def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, layer) -> None:
+def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer) -> None:
     coeffs_int = rows_to_ints(coeffs_np[layer])
 
     try:
         next_qprime, next_claim, recomb_chal = sumcheck_verifier.verify(
-            claims_int[layer], coeffs_int
+            claims_int[layer], coeffs_int, challenges=chals_int[layer]
         )
     except sumcheck_verifier.SumcheckError as e:
         raise GKRError(f"layer {layer}: {e}") from e

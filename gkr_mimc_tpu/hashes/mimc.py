@@ -81,11 +81,21 @@ def mimc_update_device(state, block):
 def mimc_hash_device(msgs):
     """Transcript hash of K field elements, msgs shape (16, K) -> (16,).
 
-    Runs as a nested scan (outer over the K message words, inner over the 91
-    rounds) so each call site traces the round body exactly once — this hash
-    sits on the sumcheck's per-round critical path and is instantiated bn
-    times per compiled layer program.
+    This hash sits on the sumcheck's per-round critical path (the
+    Fiat-Shamir challenge, common/challenge.go:10-12). On TPU it runs as a
+    Pallas kernel with the 91*K-step chain on the sequential grid
+    (ops/kernels.py mimc_hash_fs) — as a plain XLA scan the sequential
+    tiny-op chain costs ~35-40ms per hash, which dominated the bn=20 walk.
+    The portable path is the nested scan (outer over the K message words,
+    inner over the 91 rounds).
     """
+    import os
+
+    from ..ops import kernels as K
+
+    if K.pallas_enabled() and os.environ.get("GKR_FS_KERNEL", "1") == "1":
+        return K.mimc_hash_fs(msgs)
+
     blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16)
 
     def upd(state, block):

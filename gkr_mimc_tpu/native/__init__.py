@@ -54,6 +54,12 @@ def _build_and_load() -> ctypes.CDLL | None:
     lib.gkr_g1_batch_scalar_mul.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
     lib.gkr_g1_add.argtypes = [u64p, u64p, u64p]
     lib.gkr_keccak256.argtypes = [u8p, ctypes.c_uint64, u8p]
+    lib.gkr_g2_msm.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.gkr_g2_batch_scalar_mul.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.gkr_g2_add.argtypes = [u64p, u64p, u64p]
+    lib.gkr_fr_compute_h.argtypes = [
+        u64p, u64p, u64p, ctypes.c_uint64, ctypes.c_uint64, u64p,
+    ]
     return lib
 
 
@@ -155,3 +161,69 @@ def keccak256(data: bytes):
     out = (ctypes.c_uint8 * 32)()
     lib.gkr_keccak256(buf, len(data), out)
     return bytes(out)
+
+
+# -- G2 (points are Jacobian ((x0,x1),(y0,y1),(z0,z1)) Fp2 int-tuples) --------
+
+def _pack_points_g2(points: list) -> np.ndarray:
+    buf = np.zeros((len(points), 24), dtype=np.uint64)
+    for i, (x, y, z) in enumerate(points):
+        _int_to_limbs(x[0], buf[i, 0:4])
+        _int_to_limbs(x[1], buf[i, 4:8])
+        _int_to_limbs(y[0], buf[i, 8:12])
+        _int_to_limbs(y[1], buf[i, 12:16])
+        _int_to_limbs(z[0], buf[i, 16:20])
+        _int_to_limbs(z[1], buf[i, 20:24])
+    return buf
+
+
+def _unpack_point_g2(buf: np.ndarray) -> tuple:
+    return (
+        (_limbs_to_int(buf[0:4]), _limbs_to_int(buf[4:8])),
+        (_limbs_to_int(buf[8:12]), _limbs_to_int(buf[12:16])),
+        (_limbs_to_int(buf[16:20]), _limbs_to_int(buf[20:24])),
+    )
+
+
+def msm_g2(points: list, scalars: list[int]):
+    lib = _lib()
+    if lib is None:
+        return None
+    from ..gadget.bn254_g1 import R
+
+    pts = _pack_points_g2(points)
+    sc = _pack_scalars([s % R for s in scalars])
+    out = np.zeros(24, dtype=np.uint64)
+    lib.gkr_g2_msm(_u64p(pts), _u64p(sc), len(points), _u64p(out))
+    return _unpack_point_g2(out)
+
+
+def batch_scalar_mul_g2(base: tuple, scalars: list[int]):
+    lib = _lib()
+    if lib is None:
+        return None
+    from ..gadget.bn254_g1 import R
+
+    bp = _pack_points_g2([base])
+    sc = _pack_scalars([s % R for s in scalars])
+    out = np.zeros((len(scalars), 24), dtype=np.uint64)
+    lib.gkr_g2_batch_scalar_mul(_u64p(bp), _u64p(sc), len(scalars), _u64p(out))
+    return [_unpack_point_g2(out[i]) for i in range(len(scalars))]
+
+
+# -- Groth16 computeH ---------------------------------------------------------
+
+def compute_h(a: list[int], b: list[int], c: list[int], d: int):
+    """h(X) = (A(X)B(X) - C(X)) / (X^d - 1) coefficient vector (d ints,
+    top coefficient 0); a/b/c are the per-constraint values. None when the
+    native library is unavailable (callers use the Python FFT fallback)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(a)
+    pa = _pack_scalars(a)
+    pb = _pack_scalars(b)
+    pc = _pack_scalars(c)
+    out = np.zeros((d, 4), dtype=np.uint64)
+    lib.gkr_fr_compute_h(_u64p(pa), _u64p(pb), _u64p(pc), n, d, _u64p(out))
+    return [_limbs_to_int(out[i]) for i in range(d)]

@@ -21,6 +21,7 @@ up to 2**11 blocks), finished by a wide REDC outside the kernel.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -38,7 +39,11 @@ DEFAULT_BLOCK = 512
 
 def pallas_enabled() -> bool:
     """Pallas kernels are used on real TPU backends only (the portable
-    fields/fr.py path covers CPU tests and the virtual multi-chip mesh)."""
+    fields/fr.py path covers CPU tests and the virtual multi-chip mesh).
+    GKR_PALLAS_DISABLE=1 forces the portable path even on TPU — used by
+    the Pallas-vs-portable bit-equality test."""
+    if os.environ.get("GKR_PALLAS_DISABLE") == "1":
+        return False
     try:
         plat = jax.devices()[0].platform
     except Exception:  # pragma: no cover
@@ -143,6 +148,100 @@ def mimc_witness(block, state, arks_cols):
         ),
         scratch_shapes=[pltpu.VMEM((L, b), jnp.uint32)],
     )(arks_pad, block, state)
+
+
+# ---------------------------------------------------------------------------
+# Fiat-Shamir transcript hash
+# ---------------------------------------------------------------------------
+#
+# MimcHash of K message words sits on the critical path of EVERY sumcheck
+# round (the challenge r = MimcHash(coeffs), sumcheck/prover.go:73). As an
+# XLA scan the 91*K sequential tiny steps cost ~35-40ms per hash on TPU —
+# at bn=20 that is ~70s across the 94-layer walk, dominating the prover.
+# As a Pallas kernel with the round axis on the grid and the running state
+# in VMEM scratch, the same chain runs in ~2-3ms: the per-step body is one
+# (16,1) pow7 and the grid step overhead is ~1us.
+
+
+def _fs_hash_kernel(n_words: int, unroll: int):
+    n_steps = MIMC_FS_ROUNDS // unroll
+
+    def _col(ref, idx):
+        # dynamic column select via mask+reduce (dynamic lane slicing
+        # needs 128-alignment; the masked reduce is register-only)
+        v = ref[:].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.sum(
+            jnp.where(lane == idx, v, 0), axis=1, keepdims=True
+        ).astype(jnp.uint32)
+
+    def kern(arks_ref, msgs_ref, o_ref, st_ref, res_ref):
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((k == 0) & (i == 0))
+        def _():
+            st_ref[:] = jnp.zeros_like(st_ref)
+
+        block = _col(msgs_ref, k)
+
+        @pl.when(i == 0)
+        def _():
+            res_ref[:] = block
+
+        res = res_ref[:]
+        st = st_ref[:]
+        for j in range(unroll):  # `unroll` MiMC rounds per grid step
+            ark = _col(arks_ref, i * unroll + j)
+            res = fc.pow7(fc.add(fc.add(res, st), ark))
+        res_ref[:] = res
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            # Miyaguchi-Preneel completion: state' = perm + 2*state + block
+            st2 = fc.add(st, st)
+            st_ref[:] = fc.add(fc.add(res, st2), block)
+
+        @pl.when((k == n_words - 1) & (i == n_steps - 1))
+        def _():
+            o_ref[:] = st_ref[:]
+
+    return kern
+
+
+MIMC_FS_ROUNDS = 91
+
+
+@jax.jit
+def mimc_hash_fs(msgs):
+    """Transcript hash of K field elements: msgs (16, K) -> (16,).
+
+    Value-identical to hashes.mimc.mimc_hash_device (the lax.scan path);
+    the (word, round) chain rides the sequential Pallas grid."""
+    from ..hashes.ark import arks_scan_tensor
+
+    k = msgs.shape[1]
+    arks_cols = jnp.moveaxis(arks_scan_tensor(MIMC_FS_ROUNDS), 0, 1)  # (16, 91)
+    arks_pad = (
+        jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :MIMC_FS_ROUNDS].set(arks_cols)
+    )
+    unroll = int(os.environ.get("GKR_FS_UNROLL", "7"))  # 91 = 7 * 13
+    msgs_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :k].set(msgs)
+    out = pl.pallas_call(
+        _fs_hash_kernel(k, unroll),
+        out_shape=jax.ShapeDtypeStruct((L, 1), jnp.uint32),
+        grid=(k, MIMC_FS_ROUNDS // unroll),
+        in_specs=[
+            pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, 1), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L, 1), jnp.uint32),
+            pltpu.VMEM((L, 1), jnp.uint32),
+        ],
+    )(arks_pad, msgs_pad)
+    return out[:, 0]
 
 
 # ---------------------------------------------------------------------------

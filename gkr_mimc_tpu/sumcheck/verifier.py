@@ -28,23 +28,29 @@ def recombine_multi_claims(claims: list[int]) -> tuple[int, int]:
     return eval_univariate(claims, challenge), challenge
 
 
-def verify(claims: list[int], proof: list[list[int]]):
+def verify(claims: list[int], proof: list[list[int]], challenges=None):
     """proof: per round, the (deg+2) univariate coefficients (ints).
+
+    `challenges` optionally supplies the per-round Fiat-Shamir challenges
+    MimcHash(coeffs) precomputed elsewhere (the GKR verifier batches all
+    of them in one device program); when given they are trusted to be the
+    recomputation of get_challenge(coeffs) — they are derived by the
+    verifier itself, never taken from the prover.
 
     Returns (challenges, final_claim, recomb_chal); raises SumcheckError on
     a bad proof.
     """
     expected, recomb_chal = recombine_multi_claims(claims)
 
-    challenges = []
+    out_challenges = []
     for i, coeffs in enumerate(proof):
         actual = scalar.add(eval_univariate(coeffs, 0), eval_univariate(coeffs, 1))
         if actual != expected:
             raise SumcheckError(
                 f"round {i}: P(0)+P(1) = {actual} != expected {expected}"
             )
-        r = get_challenge(coeffs)
-        challenges.append(r)
+        r = challenges[i] if challenges is not None else get_challenge(coeffs)
+        out_challenges.append(r)
         expected = eval_univariate(coeffs, r)
 
-    return challenges, expected, recomb_chal
+    return out_challenges, expected, recomb_chal

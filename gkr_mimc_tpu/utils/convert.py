@@ -35,6 +35,8 @@ def ints_to_rows(values) -> np.ndarray:
     def shape_of(v):
         if isinstance(v, int):
             return ()
+        if len(v) == 0:
+            return (0,)
         return (len(v),) + shape_of(v[0])
 
     shp = shape_of(values)
