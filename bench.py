@@ -50,12 +50,121 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_sharded(bn: int):
+    """Sharded-prover bench over all visible devices (GKR_BENCH_SHARDED=1):
+    the TPU-native analog of the reference's multi-core scaling
+    (SURVEY.md §2.10); runs on the virtual CPU mesh or a real pod slice."""
+    import jax.numpy as jnp
+
+    from gkr_mimc_tpu.parallel import mesh as pmesh
+    from gkr_mimc_tpu.utils.common import random_fr_array
+
+    n = 1 << bn
+    m = pmesh.make_mesh()
+    d = len(jax.devices())
+    c = mimc_circuit()
+    block = pmesh.shard_table(fr.from_ints_mont(random_fr_array(n)), m)
+    state = pmesh.shard_table(fr.from_ints_mont(random_fr_array(n)), m)
+    a = pmesh.assign_sharded_mimc(block, state)
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+
+    t0 = time.time()
+    proof = pmesh.prove_gkr_sharded(c, a, qprime, m)
+    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    log(f"# sharded warmup (compile+run): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    proof = pmesh.prove_gkr_sharded(c, a, qprime, m)
+    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    dt = time.time() - t0
+    hps = n / dt
+    log(f"# sharded prove bn={bn} D={d}: {dt:.2f}s -> {hps:,.0f} hashes/s")
+    print(json.dumps({
+        "metric": f"mimc_hashes_proven_per_sec_sharded_bn{bn}_d{d}",
+        "value": round(hps, 1),
+        "unit": "hashes/s",
+        "vs_baseline": round(hps / EPYC_BASELINE_HASHES_PER_SEC, 3),
+    }))
+
+
+def bench_grouped(bn: int, group: int, verify: bool):
+    """Grouped-prover throughput bench: G independent bn-sized proofs in
+    one walk (the sequential per-round Fiat-Shamir hash advances all G
+    transcript lanes in lockstep, so the group costs ~the wall-clock of
+    one instance). G * 2^bn total hashes proven."""
+    import jax.numpy as jnp
+
+    from gkr_mimc_tpu.gkr import verifier as gkr_verifier_mod
+
+    n = 1 << bn
+    c = mimc_circuit()
+    t0 = time.time()
+    n_ok, fails = precompile.warm(c, bn, include_verify=False, group=group)
+    log(f"# precompile(grouped): {n_ok} programs ({len(fails)} failed) in "
+        f"{time.time()-t0:.1f}s")
+
+    to_mont = jax.jit(fr.to_mont)
+    key_np = random_fr_array_np(group * n).reshape(group, n)
+    state_np = (random_fr_array_np(group * n + 1)[1:]).reshape(group, n)
+    block = to_mont(jnp.asarray(fr.encode_uint64_array(key_np)))
+    state = to_mont(jnp.asarray(fr.encode_uint64_array(state_np)))
+    block.block_until_ready()
+    import numpy as _np
+    _np.asarray(jax.device_get(block[:, :1, :1]))
+
+    qprime = jnp.stack(
+        [
+            jnp.asarray(ints_to_rows(random_fr_array(bn + g)[g:]))
+            for g in range(group)
+        ],
+        axis=1,
+    )  # (bn, G, 16)
+
+    def run():
+        a = assign_fused(block, state)
+        proof = gkr_prover.prove(c, a, qprime)
+        proof.sumcheck_proofs[2].coeffs.block_until_ready()
+        return a[93], proof
+
+    t0 = time.time()
+    out_table, proof = run()
+    log(f"# grouped warmup (compile+run): {time.time()-t0:.1f}s")
+    out_table = proof = None
+    t0 = time.time()
+    out_table, proof = run()
+    dt = time.time() - t0
+    total = group * n
+    hps = total / dt
+    log(f"# grouped prove bn={bn} G={group}: {dt:.2f}s -> {hps:,.0f} hashes/s")
+
+    if verify:
+        t0 = time.time()
+        gkr_verifier_mod.verify_grouped(
+            c, proof, [block, state], out_table, qprime
+        )
+        log(f"# grouped verify (all {group} groups): {time.time()-t0:.1f}s OK")
+
+    print(json.dumps({
+        "metric": f"mimc_hashes_proven_per_sec_grouped_bn{bn}_g{group}",
+        "value": round(hps, 1),
+        "unit": "hashes/s",
+        "vs_baseline": round(hps / EPYC_BASELINE_HASHES_PER_SEC, 3),
+    }))
+
+
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     default_bn = 20 if on_tpu else 8
     bn = int(os.environ.get("GKR_BENCH_BN", default_bn))
     n = 1 << bn
     verify = os.environ.get("GKR_BENCH_VERIFY", "1") == "1"
+
+    if os.environ.get("GKR_BENCH_SHARDED") == "1":
+        bench_sharded(bn)
+        return
+    group = int(os.environ.get("GKR_BENCH_GROUP", "0"))
+    if group > 1:
+        bench_grouped(bn, group, verify)
+        return
 
     c = mimc_circuit()
 

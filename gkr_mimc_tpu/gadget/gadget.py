@@ -72,11 +72,36 @@ def expand_qprime(rho: int, bn: int) -> list[int]:
 
 class GkrGadget:
     def __init__(self, circuit: Circuit | None = None):
-        # like the reference, the default (and only tested) circuit is
-        # MiMC-91 (gadget.go:46-55); any 2-input-arity circuit whose layer-0
-        # input is the permutation key works.
+        # like the reference, the default circuit is MiMC-91
+        # (gadget.go:46-55); unlike the reference, ANY circuit works: the
+        # MiMC-specific `update_hasher` API sits on top of the generic
+        # `push_io`, and padding uses the circuit's own zero-output.
         self.circuit = circuit if circuit is not None else mimc_circuit()
         self.io_store = IoStore(input_arity=self.circuit.input_arity())
+        self._zero_output: int | None = None
+
+    def push_io(self, inputs: list[int], output: int, public: bool = False) -> None:
+        """Record one generic io entry (inputs in the circuit's input-layer
+        order). The caller is responsible for `output` being the circuit's
+        output on `inputs` — close(check=True) cross-checks the whole batch
+        against the device witness."""
+        self.io_store.push(inputs, output, public)
+
+    def _pad_output(self) -> int:
+        """The circuit's output on all-zero inputs — the padding entry's
+        recorded output (generalizes the reference's cached hashOfZeroes,
+        gadget.go:19-31)."""
+        if self._zero_output is None:
+            from ..circuits.circuit import assign_scalar
+
+            arity = self.circuit.input_arity()
+            a = assign_scalar(self.circuit, [[0]] * arity)
+            self._zero_output = a[-1][0]
+            # sanity: for the default MiMC circuit this IS Perm_0(0)
+            assert (
+                len(self.circuit) != 94 or self._zero_output == _HASH_OF_ZEROES
+            )
+        return self._zero_output
 
     def update_hasher(self, state: int, msg: int, public: bool = False) -> int:
         """One Miyaguchi-Preneel update; returns the new hasher state
@@ -104,13 +129,15 @@ class GkrGadget:
         return out
 
     def _pad(self) -> int:
-        """Pad the io batch to a power of two with (0,0)→Perm_0(0) entries
+        """Pad the io batch to a power of two with all-zero-input entries
         (gadget.go:103-111); returns bN."""
         if self.io_store.index == 0:
             raise ValueError("close() on an empty gadget")
         bn = log2_ceil(self.io_store.index)
+        zeros = [0] * self.io_store.input_arity
+        pad_out = self._pad_output()
         while self.io_store.index < (1 << bn):
-            self.io_store.push([0, 0], _HASH_OF_ZEROES, public=False)
+            self.io_store.push(zeros, pad_out, public=False)
         return bn
 
     def get_initial_randomness(self, setup: GadgetSetup) -> tuple[int, tuple, tuple]:

@@ -15,6 +15,7 @@ drains. The reference's copy-on-reuse of input tables
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax.numpy as jnp
@@ -34,6 +35,9 @@ _claims_pack = jax.jit(
 )
 _row = jax.jit(lambda fc, i: jax.lax.dynamic_index_in_dim(fc, i, 0, keepdims=False))
 _empty_claims = jax.jit(lambda: jnp.zeros((0, fr.L), dtype=jnp.uint32))
+_empty_claims_g = partial(jax.jit, static_argnums=0)(
+    lambda g: jnp.zeros((0, g, fr.L), dtype=jnp.uint32)
+)
 
 
 @dataclass
@@ -55,9 +59,15 @@ class GKRProof:
 
 def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
     """assignment: list of (16, N) tables (from circuits.assign);
-    qprime: (bn, 16) Montgomery rows — the initial evaluation point."""
+    qprime: (bn, 16) Montgomery rows — the initial evaluation point.
+
+    Grouped mode (G independent instances in one walk, amortizing the
+    per-round Fiat-Shamir latency): assignment tables (16, G, N), qprime
+    (bn, G, 16); every proof artifact gains a G axis before the limb
+    axis. Slice with gkr.verifier.slice_group / verify_grouped."""
     nlayers = len(circuit)
     bn = qprime.shape[0]
+    grouped = qprime.ndim == 3
 
     # slot -> value stores, one slot per consumer of each layer
     claim_store: list[list] = [[None] * len(l.out) for l in circuit]
@@ -69,7 +79,9 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
 
     # output layer: a single qPrime, no claims (gkr/prover.go:31)
     qprimes_out[nlayers - 1] = _stack0(jnp.asarray(qprime))
-    claims_out[nlayers - 1] = _empty_claims()
+    claims_out[nlayers - 1] = (
+        _empty_claims_g(qprime.shape[1]) if grouped else _empty_claims()
+    )
 
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):

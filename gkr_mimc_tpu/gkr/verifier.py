@@ -165,6 +165,48 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
             )
 
 
+def slice_group(proof: GKRProof, g: int) -> GKRProof:
+    """Extract instance g from a grouped proof (artifacts carry the G axis
+    right before the limb axis) as a standard single-instance GKRProof."""
+    from ..sumcheck.prover import SumcheckProof
+
+    sps = []
+    for p in proof.sumcheck_proofs:
+        if p is None:
+            sps.append(None)
+            continue
+        sps.append(
+            SumcheckProof(
+                coeffs=p.coeffs[:, :, g],
+                challenges=p.challenges[:, g] if p.challenges is not None else None,
+                final_claims=(
+                    p.final_claims[:, g] if p.final_claims is not None else None
+                ),
+            )
+        )
+    claims = [c[:, g] if c is not None else None for c in proof.claims]
+    qprimes = [q[:, :, g] if q is not None else None for q in proof.qprimes]
+    return GKRProof(sps, claims, qprimes)
+
+
+def verify_grouped(circuit: Circuit, proof: GKRProof, inputs: list, outputs,
+                   qprime) -> None:
+    """Verify every instance of a grouped proof: inputs/outputs (16, G, N),
+    qprime (bn, G, 16). Raises GKRError naming the failing group."""
+    n_groups = qprime.shape[1]
+    for g in range(n_groups):
+        try:
+            verify(
+                circuit,
+                slice_group(proof, g),
+                [x[:, g] for x in inputs],
+                outputs[:, g],
+                qprime[:, g],
+            )
+        except GKRError as e:
+            raise GKRError(f"group {g}: {e}") from e
+
+
 def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer) -> None:
     coeffs_int = rows_to_ints(coeffs_np[layer])
 

@@ -94,9 +94,11 @@ def mimc_hash_device(msgs):
     from ..ops import kernels as K
 
     if K.pallas_enabled() and os.environ.get("GKR_FS_KERNEL", "1") == "1":
+        if msgs.ndim == 3:  # grouped: (16, K, G) -> (16, G)
+            return K.mimc_hash_fs_g(msgs)
         return K.mimc_hash_fs(msgs)
 
-    blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16)
+    blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16[, G])
 
     def upd(state, block):
         return mimc_update_device(state, block), None

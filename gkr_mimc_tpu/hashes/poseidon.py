@@ -1,9 +1,24 @@
 """Poseidon hashers (t in {2,4,8}), Cauchy MDS, Miyaguchi-Preneel.
 
-Semantics parity with the reference hash/poseidon.go:18-157:
-RF=8 leading full rounds, RP partial rounds (82/83/84), RF trailing full
-rounds; every round adds (block[i] + Ark[r]) to each word, S-boxes (all
-words / word 0), then multiplies by the Cauchy matrix 1/(x_i + y_j).
+Semantics: RF=8 leading full rounds, RP partial rounds (82/83/84), RF
+trailing full rounds; every round adds (block[i] + Ark[r]) to each word,
+S-boxes (all words / word 0), then multiplies by the Cauchy matrix
+1/(x_i + y_j) — the algorithm hash/poseidon.go:18-157 *intends*.
+
+KNOWN PARITY DIVERGENCE from the Go reference's caller-visible values:
+`MatrixMultiplication` returns a NEW slice, so the reference's
+`PoseidonHasher.Update` (hash/poseidon.go:68-97) rebinds its local
+`state` variable after the first MDS multiply — every later round and
+the final Miyaguchi-Preneel recombination write into that new slice,
+never the caller's array. `Hash` (hash/poseidon.go:43-63) then reads
+`state[0]` from ITS array, which only saw the first round's in-place
+ark/S-box — a Go aliasing accident, not a protocol choice. This module
+implements the intended Miyaguchi-Preneel construction, so `hash()`
+outputs differ from the Go binary's. Nothing downstream is affected:
+Poseidon never feeds a transcript (the Fiat-Shamir hash is MiMC,
+common/challenge.go:10-12) and the reference has no Poseidon GKR
+circuit. The GKR-circuit parity target (models/poseidon.py) is the
+*permutation*, which both implementations agree on.
 """
 
 from __future__ import annotations

@@ -83,3 +83,39 @@ def permutation_word_scalar(t: int, state: list[int], block: list[int],
         s[0] = scalar.pow7(s[0])
         s = s[1:] + s[:1]
     return s[out_word]
+
+
+# ---------------------------------------------------------------------------
+# Full-state proving: one walk per output word (the t walks share the
+# block tables; each chain circuit is 91 width-1 layers, so the t walks
+# together still cost O(t * 91 * 2^bn) — the same order as one wide walk).
+# ---------------------------------------------------------------------------
+
+
+def prove_full_state(t: int, blocks, states, qprime):
+    """Prove ALL t permutation output words for a batch.
+
+    blocks: list of t (16, N) tables; states: list of t (16, N) tables
+    (full initial state — each walk consumes its chain's start word).
+    Returns a list of t (circuit, assignment, proof) triples, one per
+    output word."""
+    from ..circuits import circuit as circ_mod
+    from ..gkr import prover as gkr_prover
+
+    results = []
+    for w in range(t):
+        c = gmimc_circuit(t, out_word=w)
+        inputs = gmimc_inputs(blocks, states[initial_word(t, w)])
+        a = circ_mod.assign(c, inputs)
+        proof = gkr_prover.prove(c, a, qprime)
+        results.append((c, a, proof))
+    return results
+
+
+def verify_full_state(t: int, blocks, states, qprime, results) -> None:
+    """Verify the t per-word proofs from prove_full_state; raises GKRError."""
+    from ..gkr import verifier as gkr_verifier
+
+    for w, (c, a, proof) in enumerate(results):
+        inputs = gmimc_inputs(blocks, states[initial_word(t, w)])
+        gkr_verifier.verify(c, proof, inputs, a[-1], qprime)

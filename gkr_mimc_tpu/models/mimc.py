@@ -66,11 +66,20 @@ def assign_fused(block, state) -> list:
     """Witness tables for mimc_circuit(): [block, state, copy, cipher0..90].
 
     On TPU this is ONE fused Pallas kernel writing all 91 cipher tables
-    (ops/kernels.py mimc_witness); elsewhere a jitted lax.scan."""
+    (ops/kernels.py mimc_witness); elsewhere a jitted lax.scan. Grouped
+    inputs (16, G, N) flatten through the (elementwise) kernel and reshape
+    back — group boundaries are irrelevant to the witness."""
     from ..ops import kernels as K
 
     if K.pallas_enabled() and block.shape[-1] >= 512:
-        wit = K.mimc_witness(block, state, _arks_cols())
+        shape = block.shape
+        if block.ndim == 3:
+            wit = K.mimc_witness(
+                block.reshape(fr.L, -1), state.reshape(fr.L, -1), _arks_cols()
+            )
+            wit = wit.reshape((wit.shape[0],) + shape)
+        else:
+            wit = K.mimc_witness(block, state, _arks_cols())
         return [block, state, block] + _unstack(wit)
     states = _assign_fused_jit(block, state)
     return [block, state, block] + _unstack(states)

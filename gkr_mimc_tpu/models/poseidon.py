@@ -68,6 +68,39 @@ def poseidon_inputs(blocks, states):
     return list(blocks) + list(states)
 
 
+# ---------------------------------------------------------------------------
+# Full-state proving: one walk per output word. Only the final MDS layer
+# differs between the t circuits; each walk re-proves the shared trunk
+# (capability-complete; trunk-sharing across walks is a future optimization).
+# ---------------------------------------------------------------------------
+
+
+def prove_full_state(t: int, n_rounds_f: int, n_rounds_p: int, blocks,
+                     states, qprime):
+    """Prove ALL t Poseidon permutation output words for a batch.
+    Returns a list of t (circuit, assignment, proof) triples."""
+    from ..circuits import circuit as circ_mod
+    from ..gkr import prover as gkr_prover
+
+    inputs = poseidon_inputs(blocks, states)
+    results = []
+    for w in range(t):
+        c = poseidon_circuit(t, n_rounds_f, n_rounds_p, out_word=w)
+        a = circ_mod.assign(c, inputs)
+        proof = gkr_prover.prove(c, a, qprime)
+        results.append((c, a, proof))
+    return results
+
+
+def verify_full_state(t: int, blocks, states, qprime, results) -> None:
+    """Verify the t per-word proofs from prove_full_state; raises GKRError."""
+    from ..gkr import verifier as gkr_verifier
+
+    inputs = poseidon_inputs(blocks, states)
+    for c, a, proof in results:
+        gkr_verifier.verify(c, proof, inputs, a[-1], qprime)
+
+
 def permutation_word_scalar(t: int, n_rounds_f: int, n_rounds_p: int,
                             state: list[int], block: list[int],
                             out_word: int = 0) -> int:

@@ -381,6 +381,248 @@ def identity_partial_evals(eq, x0, n_evals: int):
 
 
 # ---------------------------------------------------------------------------
+# Grouped round kernels (G independent sumcheck instances per dispatch)
+# ---------------------------------------------------------------------------
+#
+# The per-round Fiat-Shamir hash is a sequential latency floor (~ms per
+# round); proving G independent instances in ONE walk amortizes it G-fold:
+# every kernel carries a group axis — tables (16, G, n), hashes (16, G)
+# lanes — so the group costs the same wall-clock as a single instance.
+
+
+def _cipher_pe_kernel_g(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref,
+                        x1b_ref, x1t_ref, o_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    ark = ark_ref[:][:, :, None]  # (L, G, 1)
+    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+    x1_b, x1_t = x1b_ref[:], x1t_ref[:]
+
+    d_eq = fc.sub(eq_t, eq_b)
+    d_x0 = fc.sub(x0_t, x0_b)
+    d_x1 = fc.sub(x1_t, x1_b)
+
+    n_evals = o_ref.shape[1]
+    eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
+    for t in range(n_evals):
+        if t == 1:
+            eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
+        elif t > 1:
+            eq_c = fc.add(eq_c, d_eq)
+            x0_c = fc.add(x0_c, d_x0)
+            x1_c = fc.add(x1_c, d_x1)
+        g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
+        prod = fc.mul(eq_c, g)  # (L, G, b)
+        cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
+        limbs, over = fc.carry_rows(cols, 26, with_over=True)  # (L,G),(1,G)
+        o_ref[0:L, pl.ds(t, 1), :] += limbs[:, None, :]
+        o_ref[L : L + 1, pl.ds(t, 1), :] += over[:, None, :]
+
+
+def _identity_pe_kernel_g(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+    d_eq = fc.sub(eq_t, eq_b)
+    d_x0 = fc.sub(x0_t, x0_b)
+
+    n_evals = o_ref.shape[1]
+    eq_c, x0_c = eq_b, x0_b
+    for t in range(n_evals):
+        if t == 1:
+            eq_c, x0_c = eq_t, x0_t
+        elif t > 1:
+            eq_c = fc.add(eq_c, d_eq)
+            x0_c = fc.add(x0_c, d_x0)
+        prod = fc.mul(eq_c, x0_c)
+        cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
+        limbs, over = fc.carry_rows(cols, 26, with_over=True)
+        o_ref[0:L, pl.ds(t, 1), :] += limbs[:, None, :]
+        o_ref[L : L + 1, pl.ds(t, 1), :] += over[:, None, :]
+
+
+def _pe_call_g(kernel, tables, extra_args, extra_specs, n_evals):
+    """Shared pallas_call plumbing for grouped partial evals: tables
+    (L, G, n) split bottom/top on the last axis, (L+1, E, G) accumulator."""
+    g = tables[0].shape[1]
+    n = tables[0].shape[-1]
+    mid = n // 2
+    b = _block_for(mid)
+    nb = mid // b
+
+    def bot(i):
+        return (0, 0, i)
+
+    def top(i):
+        return (0, 0, i + nb)
+
+    in_specs = list(extra_specs)
+    args = list(extra_args)
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, g, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    acc = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L + 1, n_evals, g), jnp.uint32),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (L + 1, n_evals, g), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(*args)
+    return _finish_evals(acc)  # (16, n_evals, G)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def cipher_partial_evals_g(eq, x0, x1, ark, n_evals: int):
+    """Grouped round partial evals: eq/x0/x1 (16, G, n), ark (16, G) ->
+    (16, n_evals, G)."""
+    g = eq.shape[1]
+    spec = [pl.BlockSpec((L, g), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    return _pe_call_g(
+        _cipher_pe_kernel_g, [eq, x0, x1], [ark], spec, n_evals
+    )
+
+
+@partial(jax.jit, static_argnums=(2,))
+def identity_partial_evals_g(eq, x0, n_evals: int):
+    return _pe_call_g(_identity_pe_kernel_g, [eq, x0], [], [], n_evals)
+
+
+def _fold_kernel_g(nt):
+    def kern(*refs):
+        r = refs[0][:][:, :, None]  # (L, G, 1)
+        for k in range(nt):
+            bot = refs[1 + 2 * k][:]
+            top = refs[2 + 2 * k][:]
+            refs[1 + 2 * nt + k][:] = fc.add(bot, fc.mul(fc.sub(top, bot), r))
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fold_tables_g(tables, r, nt: int):
+    """Grouped fold: [(16, G, n)] + r (16, G) -> [(16, G, n/2)]."""
+    g = tables[0].shape[1]
+    n = tables[0].shape[-1]
+    mid = n // 2
+    b = _block_for(mid)
+    nb = mid // b
+
+    def bot(i):
+        return (0, 0, i)
+
+    def top(i):
+        return (0, 0, i + nb)
+
+    in_specs = [pl.BlockSpec((L, g), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    args = [r]
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, g, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    out_shapes = [jax.ShapeDtypeStruct((L, g, mid), jnp.uint32) for _ in tables]
+    out_specs = [
+        pl.BlockSpec((L, g, b), bot, memory_space=pltpu.VMEM) for _ in tables
+    ]
+    outs = pl.pallas_call(
+        _fold_kernel_g(nt),
+        out_shape=out_shapes,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(*args)
+    return list(outs)
+
+
+def _fs_hash_kernel_g(n_words: int, unroll: int):
+    n_steps = MIMC_FS_ROUNDS // unroll
+
+    def kern(arks_ref, msgs_ref, o_ref, st_ref, res_ref):
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((k == 0) & (i == 0))
+        def _():
+            st_ref[:] = jnp.zeros_like(st_ref)
+
+        block = msgs_ref[0]  # (L, G): word k via the index_map
+
+        @pl.when(i == 0)
+        def _():
+            res_ref[:] = block
+
+        arks = arks_ref[:].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
+        res = res_ref[:]
+        st = st_ref[:]
+        for j in range(unroll):
+            ark = jnp.sum(
+                jnp.where(lane == i * unroll + j, arks, 0),
+                axis=1,
+                keepdims=True,
+            ).astype(jnp.uint32)
+            res = fc.pow7(fc.add(fc.add(res, st), ark))
+        res_ref[:] = res
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            st2 = fc.add(st, st)
+            st_ref[:] = fc.add(fc.add(res, st2), block)
+
+        @pl.when((k == n_words - 1) & (i == n_steps - 1))
+        def _():
+            o_ref[:] = st_ref[:]
+
+    return kern
+
+
+@jax.jit
+def mimc_hash_fs_g(msgs):
+    """Grouped transcript hash: msgs (16, K, G) -> (16, G) — G independent
+    MimcHash chains advance in lockstep, same latency as one."""
+    from ..hashes.ark import arks_scan_tensor
+
+    k = msgs.shape[1]
+    g = msgs.shape[2]
+    unroll = int(os.environ.get("GKR_FS_UNROLL", "7"))
+    arks_cols = jnp.moveaxis(arks_scan_tensor(MIMC_FS_ROUNDS), 0, 1)
+    arks_pad = (
+        jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :MIMC_FS_ROUNDS].set(arks_cols)
+    )
+    msgs_km = jnp.moveaxis(msgs, 1, 0)  # (K, L, G)
+    return pl.pallas_call(
+        _fs_hash_kernel_g(k, unroll),
+        out_shape=jax.ShapeDtypeStruct((L, g), jnp.uint32),
+        grid=(k, MIMC_FS_ROUNDS // unroll),
+        in_specs=[
+            pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, g), lambda kk, i: (kk, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, g), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L, g), jnp.uint32),
+            pltpu.VMEM((L, g), jnp.uint32),
+        ],
+    )(arks_pad, msgs_km)
+
+
+# ---------------------------------------------------------------------------
 # Folding
 # ---------------------------------------------------------------------------
 

@@ -127,11 +127,12 @@ def _eq_fn(mesh: Mesh, local_bn: int):
     return f
 
 
-def _round_fn(gate: Gate, n_tables: int, mesh: Mesh, donate: bool):
+def _round_fn(gate: Gate, n_tables: int, mesh: Mesh, donate: bool = False):
     """One shard-local round: psum'd partial evals -> coeffs -> challenge
-    (recomputed identically on every shard) -> local fold."""
-    from ..sumcheck.prover import _can_donate
-    donate = donate and _can_donate()
+    (recomputed identically on every shard) -> local fold. Rounds never
+    donate (outputs are half-size — no aliasing is possible; see
+    sumcheck.prover._round_jit)."""
+    donate = False
     key = (gate, n_tables, mesh, donate)
     f = _ROUND_CACHE.get(key)
     if f is None:
@@ -309,6 +310,8 @@ def dryrun(n_devices: int) -> None:
         except Exception:
             pass
 
+    import time
+
     mesh = make_mesh(n_devices)
     log_d = int(np.log2(n_devices))
     bn = log_d + 2
@@ -320,6 +323,15 @@ def dryrun(n_devices: int) -> None:
     a = assign_sharded_mimc(block, state)
     qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
 
+    t0 = time.time()
     proof = prove_gkr_sharded(c, a, qprime, mesh)
     proof.sumcheck_proofs[2].coeffs.block_until_ready()
-    print(f"dryrun_multichip OK: {n_devices} devices, bn={bn}")
+    t_cold = time.time() - t0
+    t0 = time.time()
+    proof = prove_gkr_sharded(c, a, qprime, mesh)
+    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    t_warm = time.time() - t0
+    print(
+        f"dryrun_multichip OK: {n_devices} devices, bn={bn}, "
+        f"sharded prove {t_cold:.1f}s cold / {t_warm:.2f}s warm"
+    )

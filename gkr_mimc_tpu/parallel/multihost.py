@@ -40,17 +40,33 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """jax.distributed bring-up. With no arguments, cluster auto-detection
     (TPU pod metadata / env vars) applies; explicit args cover manual
-    bring-up. No-op when already initialized or single-process."""
+    bring-up. No-op when already initialized or single-process.
+
+    Failure policy: when the caller EXPLICITLY requested a multi-process
+    cluster (any argument given, or num_processes > 1 detected from env),
+    a bring-up failure is fatal — silently degrading a real pod to
+    single-process would produce wrong-scale results. Only the
+    zero-config single-process case may fall through."""
     if jax.process_count() > 1:
         return  # already initialized
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process run (tests, one-host benches): nothing to do
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            raise RuntimeError(
+                "jax.distributed bring-up failed for an explicitly requested "
+                f"multi-process cluster: {e}"
+            ) from e
+        # zero-config single-process run (tests, one-host benches)
         pass
 
 

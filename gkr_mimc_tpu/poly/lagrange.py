@@ -75,13 +75,19 @@ def lagrange_tensor_np(domain_size: int) -> np.ndarray:
 
 
 def interpolate_on_range_device(values):
-    """Device: values (16, K) evals at 0..K-1 -> (16, K) coefficients."""
+    """Device: values (16, K[, *B]) evals at 0..K-1 -> (16, K[, *B])
+    coefficients (trailing batch axes, e.g. the grouped prover's G, ride
+    along)."""
     from ..fields import fr
 
     k = values.shape[1]
-    lag = jnp.asarray(lagrange_tensor_np(k))
-    prods = fr.mul(values[:, :, None], lag)  # (16, K, K)
-    return fr.reduce_sum(prods, 0)  # sum over eval-point axis -> (16, K)
+    batch = values.shape[2:]
+    lag = jnp.asarray(lagrange_tensor_np(k)).reshape(
+        (L, k, k) + (1,) * len(batch)
+    )
+    v = jnp.expand_dims(values, 2)  # (16, K, 1, *B)
+    prods = fr.mul(v, lag)  # (16, K, K, *B)
+    return fr.reduce_sum(prods, 0)  # sum over eval-point axis -> (16, K, *B)
 
 
 def eval_univariate_device(coeffs, x):

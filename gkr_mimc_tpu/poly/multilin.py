@@ -80,6 +80,24 @@ def eq_table(qprime, multiplier=None):
     return t
 
 
+def eq_table_grouped(qprime, multiplier=None):
+    """Grouped eq tables: qprime (n, G, 16) -> (16, G, 2**n), one table per
+    group lane (the grouped prover's per-instance evaluation points).
+    Same doubling construction as eq_table, vectorized over G."""
+    import jax.numpy as jnp
+
+    n, g, _ = qprime.shape
+    t = (
+        fr.one((g,)) if multiplier is None else multiplier
+    )[:, :, None]  # (16, G, 1)
+    for i in range(n):
+        r = jnp.moveaxis(qprime[i], -1, 0)[:, :, None]  # (16, G, 1)
+        rt = fr.mul(t, r)
+        lo = fr.sub(t, rt)
+        t = jnp.stack([lo, rt], axis=-1).reshape(fr.L, g, -1)
+    return t
+
+
 def eq_prefix(qprime_high, chunk_id, multiplier=None):
     """Prefix product seeding a chunk-local eq table from the chunk index
     bits: r = mult * prod_k (q if bit else 1-q). Parity with

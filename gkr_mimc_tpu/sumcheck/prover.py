@@ -97,16 +97,19 @@ def _partial_evals(gate: Gate, gate_params, eq, xs, active_mid=None):
         m = prod.shape[-1]
         lane = jax.lax.broadcasted_iota(jnp.uint32, (m,), 0)
         mask = lane < active_mid
-        prod = jnp.where(mask[None, None, :], prod, jnp.zeros_like(prod))
-    return fr.reduce_sum(prod, 1)  # sum over the hypercube -> (16, n_evals)
+        shape = (1,) * (prod.ndim - 1) + (m,)
+        prod = jnp.where(mask.reshape(shape), prod, jnp.zeros_like(prod))
+    # sum over the hypercube (last axis) -> (16, n_evals[, G])
+    return fr.reduce_sum(prod, prod.ndim - 2)
 
 
 def _fold(table, r, active_mid=None):
     """Fold on the leading hypercube variable. In masked tail rounds the
     physical size is kept: the folded half is written to the prefix and the
-    (stale) upper half is carried along untouched."""
+    (stale) upper half is carried along untouched. r: (16,) single or
+    (16, G) grouped — broadcast over the hypercube axis."""
     bottom, top = _split_halves(table, active_mid)
-    rr = r.reshape((fr.L,) + (1,) * (table.ndim - 1))
+    rr = r.reshape(r.shape + (1,) * (table.ndim - r.ndim))
     folded = fr.add(bottom, fr.mul(fr.sub(top, bottom), rr))
     if active_mid is None:
         return folded
@@ -114,21 +117,26 @@ def _fold(table, r, active_mid=None):
 
 
 def _make_eq(qprimes, claims):
-    """Combined eq table (16, 2**bn), parity with makeEqTable
+    """Combined eq table, parity with makeEqTable
     (sumcheck/prover.go:102-144): first qPrime without multiplier, claims
     j >= 1 with multiplier rlc^j where rlc = MimcHash(claims). The rlc is
     skipped when there is a single claim (the reference computes it but its
-    value never reaches the transcript — GetChallenge is stateless)."""
+    value never reaches the transcript — GetChallenge is stateless).
+
+    Single: qprimes (J, bn, 16), claims (16, J) -> eq (16, 2**bn).
+    Grouped: qprimes (J, bn, G, 16), claims (16, J, G) -> (16, G, 2**bn)."""
+    grouped = qprimes.ndim == 4
+    table = multilin.eq_table_grouped if grouped else multilin.eq_table
     n_claims = qprimes.shape[0]
-    eq = multilin.eq_table(qprimes[0])
+    eq = table(qprimes[0])
     if n_claims <= 1:
         return eq
-    rlc = mimc_hash_device(claims)  # claims: (16, J)
+    rlc = mimc_hash_device(claims)  # (16,) or (16, G)
 
     def body(carry, inp):
         acc, mult = carry
         qp = inp
-        acc = fr.add(acc, multilin.eq_table(qp, multiplier=mult))
+        acc = fr.add(acc, table(qp, multiplier=mult))
         return (acc, fr.mul(mult, rlc)), None
 
     (eq, _), _ = jax.lax.scan(body, (eq, rlc), qprimes[1:])
@@ -162,10 +170,23 @@ def _pallas_gate_kind(gate: Gate, xs) -> str | None:
 
 
 def _round_step(gate, gate_params, eq, xs, active_mid):
-    """One sumcheck round (partial evals -> coeffs -> challenge -> fold)."""
+    """One sumcheck round (partial evals -> coeffs -> challenge -> fold).
+    eq/xs: (16, n) single or (16, G, n) grouped."""
+    grouped = eq.ndim == 3
     kind = _pallas_gate_kind(gate, xs) if active_mid is None else None
     if kind is not None and eq.shape[-1] >= PALLAS_MIN:
         n_evals = gate.degree + 2
+        if grouped:
+            g = eq.shape[1]
+            if kind == "cipher":
+                ark = jnp.broadcast_to(gate_params[0].reshape(fr.L, 1), (fr.L, g))
+                evals = K.cipher_partial_evals_g(eq, xs[0], xs[1], ark, n_evals)
+            else:
+                evals = K.identity_partial_evals_g(eq, xs[0], n_evals)
+            coeffs = lagrange.interpolate_on_range_device(evals)
+            r = mimc_hash_device(coeffs)
+            folded = K.fold_tables_g([eq] + list(xs), r, 1 + len(xs))
+            return folded[0], folded[1:], coeffs, r
         if kind == "cipher":
             evals = K.cipher_partial_evals(eq, xs[0], xs[1], gate_params[0], n_evals)
         else:
@@ -206,17 +227,21 @@ def _can_donate() -> bool:
         return False
 
 
-def _round_jit(gate: Gate, donate: bool):
-    donate = donate and _can_donate()
-    key = (gate, donate)
+def _round_jit(gate: Gate, donate: bool = False):
+    """One head round as its own program. NB: head rounds never donate —
+    every output is HALF the input size, so XLA can never alias a donated
+    buffer (the round-1 'donated buffers were not usable' warnings), and
+    the inputs are freed by refcount right after dispatch anyway. The
+    `donate` arg is retained for call-site compatibility and ignored."""
+    del donate
+    key = gate
     f = _ROUND_JIT_CACHE.get(key)
     if f is None:
         def run(gate_params, eq, xs):
             eq2, xs2, coeffs, r = _round_step(gate, gate_params, eq, list(xs), None)
             return eq2, tuple(xs2), coeffs, r
 
-        donate_argnums = (1, 2) if donate else ()
-        f = jax.jit(run, donate_argnums=donate_argnums)
+        f = jax.jit(run)
         _ROUND_JIT_CACHE[key] = f
     return f
 
@@ -251,8 +276,9 @@ _tail_jit_donate = partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3))(
 
 
 def _final_claims(eq, xs):
+    # single: entries (16,) -> (k+1, 16); grouped: (16, G) -> (k+1, G, 16)
     fc = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
-    fc = fr.canonicalize(jnp.moveaxis(fc, -1, 0))
+    fc = fr.canonicalize(jnp.moveaxis(fc, 1, 0))  # limb axis to front
     return jnp.moveaxis(fc, 0, -1)
 
 
@@ -262,19 +288,22 @@ _make_eq_jit = jax.jit(_make_eq)
 @partial(jax.jit, static_argnums=(0, 1))
 def _package_jit(n_head: int, n_evals: int, head_coeffs, head_rs, tail_coeffs,
                  tail_rs, final_claims):
-    """Stack per-round artifacts into the proof tensors (canonical form)."""
+    """Stack per-round artifacts into the proof tensors (canonical form).
+    Limb axis moves last; a grouped G axis (coeffs (16, E, G), rs (16, G))
+    rides between."""
     coeffs = [jnp.moveaxis(c, 0, -1) for c in head_coeffs]
-    rs = list(head_rs)
+    rs = [jnp.moveaxis(r, 0, -1) for r in head_rs]
     if tail_coeffs is not None:
         t = tail_coeffs.shape[0]
         coeffs += [jnp.moveaxis(tail_coeffs[i], 0, -1) for i in range(t)]
-        rs += [tail_rs[i] for i in range(t)]
+        rs += [jnp.moveaxis(tail_rs[i], 0, -1) for i in range(t)]
     if coeffs:
         proof = _canon_rows(jnp.stack(coeffs, axis=0))
         chals = _canon_rows(jnp.stack(rs, axis=0))
     else:
-        proof = jnp.zeros((0, n_evals, fr.L), dtype=jnp.uint32)
-        chals = jnp.zeros((0, fr.L), dtype=jnp.uint32)
+        batch = final_claims.shape[1:-1]  # () or (G,)
+        proof = jnp.zeros((0, n_evals) + batch + (fr.L,), dtype=jnp.uint32)
+        chals = jnp.zeros((0,) + batch + (fr.L,), dtype=jnp.uint32)
     return proof, chals, final_claims
 
 
@@ -369,23 +398,33 @@ def _canon_rows(arr):
 
 
 _no_claims = jax.jit(lambda: jnp.zeros((fr.L, 0), dtype=jnp.uint32))
+_no_claims_g = partial(jax.jit, static_argnums=0)(
+    lambda g: jnp.zeros((fr.L, 0, g), dtype=jnp.uint32)
+)
 
 
 def prove(xs, qprimes, claims, gate: Gate) -> SumcheckProof:
     """Run the sumcheck prover.
 
-    xs:      list of (16, N) tables (N = 2**bn), all same length
-    qprimes: (J, bn, 16) evaluation points (J >= 1)
-    claims:  (16, J) claimed values (only used for Fiat-Shamir RLC), or None
-             when there are no claims (the output layer, gkr/prover.go:26-31)
-    gate:    static Gate instance
+    Single instance:
+      xs:      list of (16, N) tables (N = 2**bn), all same length
+      qprimes: (J, bn, 16) evaluation points (J >= 1)
+      claims:  (16, J) claimed values (only used for Fiat-Shamir RLC), or
+               None when there are no claims (the output layer,
+               gkr/prover.go:26-31)
+    Grouped (G independent instances amortizing the sequential Fiat-Shamir
+    latency — each round hashes G transcripts in lockstep lanes):
+      xs (16, G, N); qprimes (J, bn, G, 16); claims (16, J, G) | None.
+      Proof tensors gain a G axis before the limb axis.
     """
+    grouped = qprimes.ndim == 4
     bn = qprimes.shape[1]
     for x in xs:
         assert x.shape[-1] == 1 << bn, (x.shape, bn)
+        assert x.ndim == (3 if grouped else 2)
     if claims is None:
         assert qprimes.shape[0] == 1
-        claims = _no_claims()
+        claims = _no_claims_g(qprimes.shape[2]) if grouped else _no_claims()
     proof, chals, fc = _prove_rounds(gate, gate.params(), list(xs), qprimes, claims)
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
 

@@ -55,19 +55,26 @@ def _walk_classes(circuit, bn: int):
     return classes
 
 
-def enumerate_jobs(circuit, bn: int, include_verify: bool = True):
-    """List of (label, thunk) where thunk AOT-lowers + compiles one program."""
+def enumerate_jobs(circuit, bn: int, include_verify: bool = True,
+                   group: int = 0):
+    """List of (label, thunk) where thunk AOT-lowers + compiles one program.
+    group > 1 enumerates the grouped-prover shapes (a G axis on every
+    table/artifact) instead of the single-instance ones."""
     from ..sumcheck import prover as sp
     from ..gkr import verifier as gv
 
     jobs = []
     seen_labels = set()
+    gdims = (group,) if group > 1 else ()
 
     def lower(label, f, *args):
         if label in seen_labels:  # claim-classes share round/tail programs
             return
         seen_labels.add(label)
         jobs.append((label, lambda: f.lower(*args).compile()))
+
+    def tbl(size):
+        return _sds((fr.L,) + gdims + (size,))
 
     n = 1 << bn
     tb = sp._tail_bits()
@@ -82,17 +89,17 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True):
         lower(
             f"make_eq[J={j_q},{j_c}]",
             sp._make_eq_jit,
-            _sds((j_q, bn, fr.L)),
-            _sds((fr.L, j_c)),
+            _sds((j_q, bn) + gdims + (fr.L,)),
+            _sds((fr.L, j_c) + gdims),
         )
 
-        # unrolled head rounds (one program per size; donate after round 1)
+        # unrolled head rounds (one program per size)
         size = n
         first = True
         while size > (1 << tb):
             f = sp._round_jit(gate, donate=not first)
-            xs = tuple(_sds((fr.L, size)) for _ in range(n_tab))
-            lower(f"round[{gate.name},{size}]", f, p_sds, _sds((fr.L, size)), xs)
+            xs = tuple(tbl(size) for _ in range(n_tab))
+            lower(f"round[{gate.name},{size}]", f, p_sds, tbl(size), xs)
             size //= 2
             first = False
 
@@ -104,15 +111,15 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True):
                 else sp._tail_jit_keep
             )
             # NB: _prove_rounds passes xs as a tuple — pytree type matters
-            xs = tuple(_sds((fr.L, size)) for _ in range(n_tab))
-            lower(f"tail[{gate.name},{size}]", tail, gate, p_sds, _sds((fr.L, size)), xs)
+            xs = tuple(tbl(size) for _ in range(n_tab))
+            lower(f"tail[{gate.name},{size}]", tail, gate, p_sds, tbl(size), xs)
 
         # packaging
-        head_c = tuple(_sds((fr.L, n_evals)) for _ in range(head_rounds))
-        head_r = tuple(_sds((fr.L,)) for _ in range(head_rounds))
-        t_c = _sds((tail_rounds, fr.L, n_evals)) if tail_rounds else None
-        t_r = _sds((tail_rounds, fr.L)) if tail_rounds else None
-        fc_sds = _sds((1 + n_tab, fr.L))
+        head_c = tuple(_sds((fr.L, n_evals) + gdims) for _ in range(head_rounds))
+        head_r = tuple(_sds((fr.L,) + gdims) for _ in range(head_rounds))
+        t_c = _sds((tail_rounds, fr.L, n_evals) + gdims) if tail_rounds else None
+        t_r = _sds((tail_rounds, fr.L) + gdims) if tail_rounds else None
+        fc_sds = _sds((1 + n_tab,) + gdims + (fr.L,))
         lower(
             f"package[{gate.name}]",
             sp._package_jit,
@@ -125,7 +132,7 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True):
             fc_sds,
         )
 
-    if include_verify:
+    if include_verify and not gdims:
         lower("evaluate", gv._evaluate_jit, _sds((fr.L, n)), _sds((bn, fr.L)))
         # challenge batches, grouped by per-layer coeff shape as verify does
         shape_counts: dict = {}
@@ -145,14 +152,14 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True):
 
 
 def warm(circuit, bn: int, include_verify: bool = True, max_workers: int = 16,
-         quiet: bool = True):
+         quiet: bool = True, group: int = 0):
     """AOT-compile all device programs for a bn-sized GKR walk in parallel.
 
     Returns (n_ok, failures) where failures is a list of (label, repr(err));
     warming is best-effort — a failed job only means that program compiles
     lazily at dispatch time instead.
     """
-    jobs = enumerate_jobs(circuit, bn, include_verify)
+    jobs = enumerate_jobs(circuit, bn, include_verify, group=group)
     failures = []
     n_ok = 0
     with _cf.ThreadPoolExecutor(max_workers=max_workers) as ex:

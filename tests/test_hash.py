@@ -59,8 +59,14 @@ def test_hashes_run_scalar():
     mimc.mimc_hash(inputs)
 
 
-@pytest.mark.parametrize("hasher", [GMIMC_T2, POSEIDON_T2], ids=["gmimc2", "poseidon2"])
+@pytest.mark.parametrize(
+    "hasher",
+    [GMIMC_T2, GMIMC_T4, GMIMC_T8, POSEIDON_T2, POSEIDON_T4, POSEIDON_T8],
+    ids=["gmimc2", "gmimc4", "gmimc8", "poseidon2", "poseidon4", "poseidon8"],
+)
 def test_device_hashers_match_scalar(hasher):
-    msg = VALS[:3]
+    """Device == scalar for every production width, with a message length
+    that exercises multi-block absorption and zero padding."""
+    msg = VALS[: hasher.t + 3]
     got = jax.jit(hasher.hash_batch)(fr.from_ints_mont(msg)[:, :, None])
     assert fr.to_ints(got) == [hasher.hash(msg)]

@@ -72,10 +72,10 @@ def test_poseidon_gkr_roundtrip_reduced_rounds():
     gkr_verifier.verify(c, proof, inputs, a[-1], qprime)
 
 
-def test_poseidon_full_config_witness():
-    """Witness parity at the production config (t=2, RF=8, RP=82 — the
-    reference's PoseidonT2, hash/poseidon.go:150-157): the 395-layer
-    assignment's output table matches the scalar permutation."""
+def test_poseidon_full_config_prove_and_verify():
+    """End-to-end prove+verify at the PRODUCTION config (t=2, RF=8, RP=82 —
+    the reference's PoseidonT2, hash/poseidon.go:150-157): witness parity
+    plus the full 395-layer GKR walk and verification."""
     t, rf, rp = 2, 8, 82
     bn = 1
     n = 1 << bn
@@ -94,3 +94,74 @@ def test_poseidon_full_config_witness():
         for i in range(n)
     ]
     assert fr.to_ints(a[-1]) == expected
+
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+    proof = gkr_prover.prove(c, a, qprime)
+    gkr_verifier.verify(c, proof, inputs, a[-1], qprime)
+
+
+def test_gmimc_full_state_proving():
+    """All t output words proven and verified (VERDICT r1 item 7: packaged
+    full-state proving, not just word 0)."""
+    t, bn = 2, 2
+    n = 1 << bn
+    blocks_int = [random_fr_array(n) for _ in range(t)]
+    states_int = [random_fr_array(n) for _ in range(t)]
+    blocks = [fr.from_ints_mont(b) for b in blocks_int]
+    states = [fr.from_ints_mont(s) for s in states_int]
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+
+    results = gm.prove_full_state(t, blocks, states, qprime)
+    gm.verify_full_state(t, blocks, states, qprime, results)
+
+    # every word's witness output matches the scalar permutation
+    for w, (c, a, proof) in enumerate(results):
+        expected = [
+            gm.permutation_word_scalar(
+                t, _batch_col(states_int, i), _batch_col(blocks_int, i), w
+            )
+            for i in range(n)
+        ]
+        assert fr.to_ints(a[-1]) == expected
+
+
+def test_poseidon_full_state_proving():
+    t, rf, rp, bn = 2, 2, 3, 2
+    n = 1 << bn
+    blocks_int = [random_fr_array(n) for _ in range(t)]
+    states_int = [random_fr_array(n) for _ in range(t)]
+    blocks = [fr.from_ints_mont(b) for b in blocks_int]
+    states = [fr.from_ints_mont(s) for s in states_int]
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+
+    results = ps.prove_full_state(t, rf, rp, blocks, states, qprime)
+    ps.verify_full_state(t, blocks, states, qprime, results)
+
+    for w, (c, a, proof) in enumerate(results):
+        expected = [
+            ps.permutation_word_scalar(
+                t, rf, rp, _batch_col(states_int, i), _batch_col(blocks_int, i), w
+            )
+            for i in range(n)
+        ]
+        assert fr.to_ints(a[-1]) == expected
+
+
+def test_gadget_with_gmimc_circuit():
+    """The gadget's full close() pipeline (pad -> commit -> rho -> prove ->
+    serialize -> verify) over a NON-MiMC circuit via the generic push_io
+    API (VERDICT r1 item 7: 'gadget close() working with a non-MiMC
+    circuit')."""
+    from gkr_mimc_tpu.gadget import GkrGadget, verify_gadget
+
+    t = 2
+    c = gm.gmimc_circuit(t)
+    g = GkrGadget(circuit=c)
+    # 3 entries -> padded to 4; inputs are (block0, block1, state_word)
+    for i in range(3):
+        blocks = [7 * i + 1, 9 * i + 2]
+        state = [0, 0]
+        out = gm.permutation_word_scalar(t, state, blocks, 0)
+        g.push_io([blocks[0], blocks[1], state[gm.initial_word(t)]], out)
+    proof = g.close()
+    verify_gadget(c, g.make_setup(), proof, g.io_store)
