@@ -151,6 +151,59 @@ def bench_grouped(bn: int, group: int, verify: bool):
     }))
 
 
+def bench_chunked(bn: int, total_log2: int, verify: bool):
+    """North-star scale: prove 2^total_log2 hashes as sequential 2^bn
+    chunks (BASELINE.md: '2^22 MiMC hashes proven with verified bit-exact
+    GKR proof'); one chunk's HBM is freed before the next. The input
+    stream is the single deterministic RandomFrArray sequence, chunked."""
+    import jax.numpy as jnp
+
+    n = 1 << bn
+    chunks = 1 << (total_log2 - bn)
+    c = mimc_circuit()
+    t0 = time.time()
+    n_ok, fails = precompile.warm(c, bn, include_verify=verify)
+    log(f"# precompile: {n_ok} programs ({len(fails)} failed) in "
+        f"{time.time()-t0:.1f}s")
+    to_mont = jax.jit(fr.to_mont)
+    qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
+
+    # warmup on chunk 0 (compiles; excluded from the timed pass)
+    def run_chunk(ci):
+        block = to_mont(jnp.asarray(
+            fr.encode_uint64_array(random_fr_array_np(n, offset=ci * n))))
+        state = to_mont(jnp.asarray(fr.encode_uint64_array(
+            random_fr_array_np(n, offset=(chunks + ci) * n))))
+        a = assign_fused(block, state)
+        proof = gkr_prover.prove(c, a, qprime)
+        proof.sumcheck_proofs[2].coeffs.block_until_ready()
+        return block, state, a[93], proof
+
+    t0 = time.time()
+    run_chunk(0)
+    log(f"# warmup (residual compile+run): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    n_verified = 0
+    for ci in range(chunks):
+        block, state, out_table, proof = run_chunk(ci)
+        if verify:
+            gkr_verifier.verify(c, proof, [block, state], out_table, qprime)
+            n_verified += 1
+        block = state = out_table = proof = None  # free HBM
+    dt = time.time() - t0
+    total = chunks * n
+    hps = total / dt
+    log(f"# chunked prove 2^{total_log2} = {chunks} x 2^{bn}: {dt:.1f}s "
+        f"-> {hps:,.0f} hashes/s ({n_verified}/{chunks} chunks verified)")
+    print(json.dumps({
+        "metric": f"mimc_hashes_proven_per_sec_total2e{total_log2}_bn{bn}",
+        "value": round(hps, 1),
+        "unit": "hashes/s",
+        "vs_baseline": round(hps / EPYC_BASELINE_HASHES_PER_SEC, 3),
+    }))
+
+
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     default_bn = 20 if on_tpu else 8
@@ -164,6 +217,10 @@ def main():
     group = int(os.environ.get("GKR_BENCH_GROUP", "0"))
     if group > 1:
         bench_grouped(bn, group, verify)
+        return
+    total_log2 = int(os.environ.get("GKR_BENCH_TOTAL_LOG2", "0"))
+    if total_log2 > bn:
+        bench_chunked(bn, total_log2, verify)
         return
 
     c = mimc_circuit()

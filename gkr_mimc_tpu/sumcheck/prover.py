@@ -160,8 +160,12 @@ def _tail_bits() -> int:
 
 
 def _pallas_gate_kind(gate: Gate, xs) -> str | None:
+    import os
+
     if not K.pallas_enabled():
         return None
+    if os.environ.get("GKR_PE_DISABLE") == "1":  # diagnostic: XLA tables,
+        return None  # Pallas hash stays on
     if isinstance(gate, CipherGate) and len(xs) == 2:
         return "cipher"
     if isinstance(gate, IdentityGate) and len(xs) == 1:

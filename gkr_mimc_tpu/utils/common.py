@@ -44,8 +44,10 @@ def random_fr_array(size: int) -> list[int]:
     return [(((i * i) % _U64) ^ _RAND_XOR) % P for i in range(size)]
 
 
-def random_fr_array_np(size: int) -> np.ndarray:
+def random_fr_array_np(size: int, offset: int = 0) -> np.ndarray:
     """Same values as random_fr_array but as a numpy uint64 vector (all
-    values < 2**64 and < p, so no reduction is needed)."""
-    i = np.arange(size, dtype=np.uint64)
+    values < 2**64 and < p, so no reduction is needed). `offset` shifts the
+    index stream (res[k] = gen(offset + k)) so a 2^T batch proven as
+    sequential chunks consumes one contiguous deterministic stream."""
+    i = np.arange(offset, offset + size, dtype=np.uint64)
     return (i * i) ^ np.uint64(_RAND_XOR)
