@@ -676,6 +676,60 @@ def fold_tables(tables, r, nt: int):
 
 
 # ---------------------------------------------------------------------------
+# Multi-claim eq-table build (single pass)
+# ---------------------------------------------------------------------------
+#
+# The fan-out layer's combined table  sum_j m_j * eq(q_j, x)  built as 91
+# sequential full-size doubling passes (the reference's accumulation,
+# sumcheck/prover.go:102-144) costs seconds at bn=20 in XLA — dominated by
+# the per-claim interleave/reshape layout thrash, not math. Factorize
+# eq(q, x) = eq(q_hi, x_hi) * eq(q_lo, x_lo): per claim, build a tiny hi
+# table over the leading bits (multiplier folded in) and a tiny lo table
+# over the trailing bits, then ONE streaming kernel computes
+# out[c*B + t] = sum_j mh_j[c] * lo_j[t] with all J lo-tables resident in
+# VMEM. Work: J muls/element — one pass over the output.
+
+
+def _multi_eq_kernel(n_claims: int):
+    def kern(mh_ref, lo_ref, o_ref):
+        mh = mh_ref[0]  # (L, J): this chunk's per-claim prefixes
+        lo = lo_ref[:]  # (L, J, B)
+        b = lo.shape[-1]
+
+        def mhj(j):  # lane-broadcast only (Mosaic can't do both axes)
+            return jnp.broadcast_to(mh[:, j : j + 1], (mh.shape[0], b))
+
+        # operand order matters: fc.mul row-slices its SECOND operand, and
+        # Mosaic cannot row-slice a lane-broadcast value (it refolds into an
+        # unsupported both-axis broadcast) — keep the broadcast first.
+        acc = fc.mul(mhj(0), lo[:, 0, :])
+        for j in range(1, n_claims):
+            acc = fc.add(acc, fc.mul(mhj(j), lo[:, j, :]))
+        o_ref[:] = acc
+
+    return kern
+
+
+@jax.jit
+def multi_eq_accum(mh, lo):
+    """mh: (C, 16, J) per-chunk per-claim prefixes (multipliers folded in);
+    lo: (16, J, B) per-claim low tables. Returns (16, C*B)."""
+    c, _, j = mh.shape
+    b = lo.shape[-1]
+    out = pl.pallas_call(
+        _multi_eq_kernel(j),
+        out_shape=jax.ShapeDtypeStruct((L, c * b), jnp.uint32),
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, L, j), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, j, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )(mh, lo)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Eq-table build stage
 # ---------------------------------------------------------------------------
 

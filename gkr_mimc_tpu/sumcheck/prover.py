@@ -128,6 +128,8 @@ def _make_eq(qprimes, claims):
     grouped = qprimes.ndim == 4
     table = multilin.eq_table_grouped if grouped else multilin.eq_table
     n_claims = qprimes.shape[0]
+    if not grouped and qprimes.shape[1] >= 13 and K.pallas_enabled():
+        return _make_eq_multiclaim_fast(qprimes, claims)
     eq = table(qprimes[0])
     if n_claims <= 1:
         return eq
@@ -141,6 +143,41 @@ def _make_eq(qprimes, claims):
 
     (eq, _), _ = jax.lax.scan(body, (eq, rlc), qprimes[1:])
     return eq
+
+
+def _make_eq_multiclaim_fast(qprimes, claims):
+    """Single-pass multi-claim eq build (the fan-out layer's J=91 table):
+    eq(q, x) factorizes as eq(q_hi, x_hi) * eq(q_lo, x_lo), so the combined
+    table is one streaming contraction of tiny per-claim hi/lo tables
+    (ops/kernels.py multi_eq_accum) instead of J sequential full-size
+    accumulation passes (sumcheck/prover.go:102-144 semantics, identical
+    values)."""
+    j, bn, _ = qprimes.shape
+    one = fr.one(())
+    if j == 1:
+        # single claim: no RLC (the hash would be computed-but-unused in
+        # the reference; our slow path skips it too — transcript parity)
+        ms = one[:, None]
+    else:
+        rlc = mimc_hash_device(claims)
+
+        # multipliers m_0 = 1, m_k = rlc^k  -> (16, J)
+        def body(m, _):
+            nm = fr.mul(m, rlc)
+            return nm, nm
+
+        _, ms_rest = jax.lax.scan(body, one, None, length=j - 1)  # (J-1, 16)
+        ms = jnp.moveaxis(jnp.concatenate([one[None], ms_rest], axis=0), -1, 0)
+
+    k = min(bn, 10)
+    hi_bits = bn - k
+    # hi tables (multipliers folded in): (16, J, C); lo tables: (16, J, B)
+    hi = multilin.eq_table_grouped(
+        jnp.moveaxis(qprimes[:, :hi_bits], 0, 1), multiplier=ms
+    )
+    lo = multilin.eq_table_grouped(jnp.moveaxis(qprimes[:, hi_bits:], 0, 1))
+    mh = jnp.transpose(hi, (2, 0, 1))  # (C, 16, J)
+    return K.multi_eq_accum(mh, lo)
 
 
 # Tables at or below 2**TAIL_BITS entries run as ONE fixed-shape masked
