@@ -1,15 +1,19 @@
-"""Gadget proof verification (the Verify side of the integration layer).
+"""Standalone gadget proof verification (no SNARK wrapper).
 
 Parity with prover/gadget/verify.go:15-75 at the transcript level: the
 reference verifier (1) recomputes KrsGkr = KrsGkrPub + KrsGkrPriv from the
 public witness and the proof, (2) re-derives the initial randomness ρ from
 that point and checks it against the public input, then (3) runs a 4-term
 pairing check binding everything into Groth16. Steps (1)-(2) are
-reproduced exactly here (same MSM split, same Keccak derivation); step (3)
-belongs to the pairing layer outside the TPU core (SURVEY.md §2.11) — in
-its place this verifier re-runs the full GKR transcript verification,
-which the reference performs inside the SNARK as constraints
-(snark/gkr AssertValid, gadget.go:115).
+reproduced exactly here (same MSM split, same Keccak derivation); for the
+standalone gadget (no outer SNARK) this verifier then re-runs the full
+GKR transcript verification directly — the check the reference performs
+inside the SNARK as constraints (snark/gkr AssertValid, gadget.go:115).
+
+The SUCCINCT verification — the actual 4-term pairing check against
+sigma-marked keys — lives in the full Groth16 pipeline: wrap the workload
+with gadget.incircuit.GadgetCircuit and verify with gadget.groth16.verify
+(prover/gadget/verify.go:59-70 parity, tests/test_groth16.py).
 """
 
 from __future__ import annotations

@@ -34,7 +34,7 @@ from ..fields import fr
 from ..fields.bn254 import L
 from . import fieldcore as fc
 
-DEFAULT_BLOCK = 512
+DEFAULT_BLOCK = int(os.environ.get("GKR_PALLAS_BLOCK", "512"))
 
 
 def pallas_enabled() -> bool:
