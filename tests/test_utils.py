@@ -83,3 +83,39 @@ def test_prove_sharded_on_global_arrays():
     assert np.array_equal(
         np.asarray(single.challenges), np.asarray(sharded.challenges)
     )
+
+
+def test_random_fr_array_offset_contiguous():
+    """The offset generator slices one deterministic stream — chunked
+    batches (bench GKR_BENCH_TOTAL_LOG2) consume RandomFrArray(total)."""
+    import numpy as np
+
+    from gkr_mimc_tpu.utils.common import random_fr_array, random_fr_array_np
+
+    whole = random_fr_array_np(32)
+    parts = np.concatenate(
+        [random_fr_array_np(8, offset=o) for o in (0, 8, 16, 24)]
+    )
+    assert np.array_equal(whole, parts)
+    assert [int(v) for v in whole[:6]] == random_fr_array(6)
+
+
+def test_precompile_enumeration_covers_walk():
+    """The AOT precompiler enumerates one round program per (gate, size),
+    the tails, eq builds and verify programs — and dedupes the shared
+    claim-class programs."""
+    from gkr_mimc_tpu.models.mimc import mimc_circuit
+    from gkr_mimc_tpu.utils import precompile
+
+    c = mimc_circuit()
+    jobs = precompile.enumerate_jobs(c, 5)
+    labels = [l for l, _ in jobs]
+    assert len(labels) == len(set(labels))  # deduped
+    assert "make_eq[J=91,91]" in labels
+    assert "make_eq[J=1,0]" in labels  # output layer (no claims)
+    assert any(l.startswith("tail[CipherGate") for l in labels)
+    assert "evaluate" in labels
+
+    grouped = precompile.enumerate_jobs(c, 5, include_verify=True, group=4)
+    # grouped mode skips the (single-instance) verifier programs
+    assert "evaluate" not in [l for l, _ in grouped]
