@@ -115,15 +115,21 @@ import os, sys, json
 import jax.numpy as jnp
 from gkr_mimc_tpu.sumcheck import prover, testing
 from gkr_mimc_tpu.utils.convert import rows_to_ints
-bn = 10
-xs, claims_int, qprimes_int, gate = testing.initialize_cipher_gate_instance(bn)
-qp = testing.to_device_qprimes(qprimes_int)
-cl = testing.to_device_claims(claims_int)
-scp = prover.prove(xs, qp, cl, gate)
-print(json.dumps({
-    "coeffs": [[str(v) for v in row] for row in rows_to_ints(scp.coeffs)],
-    "chals": [str(v) for v in rows_to_ints(scp.challenges)],
-}))
+out = {}
+# bn=13 engages the fast single-pass eq build alongside the round kernels
+for label, (bn, nc) in {"single": (13, 1), "multi": (13, 9)}.items():
+    if nc == 1:
+        xs, claims_int, qprimes_int, gate = testing.initialize_cipher_gate_instance(bn)
+    else:
+        xs, claims_int, qprimes_int, gate = testing.initialize_multi_instance(bn, nc)
+    qp = testing.to_device_qprimes(qprimes_int)
+    cl = testing.to_device_claims(claims_int)
+    scp = prover.prove(xs, qp, cl, gate)
+    out[label] = {
+        "coeffs": [[str(v) for v in row] for row in rows_to_ints(scp.coeffs)],
+        "chals": [str(v) for v in rows_to_ints(scp.challenges)],
+    }
+print(json.dumps(out))
 """
 
 
