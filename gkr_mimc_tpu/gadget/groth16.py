@@ -407,6 +407,11 @@ def verify(
     inputs in canonical order (wire 1.., i.e. [rho, inner publics...])."""
     if proof.initial_randomness == 0:
         raise Groth16VerifyError("initial randomness missing from the proof")
+    if len(public_values) != len(vk.k_pub) - 1:
+        raise Groth16VerifyError(
+            f"expected {len(vk.k_pub) - 1} public inputs, "
+            f"got {len(public_values)}"
+        )
     z_pub = [1] + [v % R for v in public_values]
 
     # recompute KrsGkr from the public ios + the proof's private part, and

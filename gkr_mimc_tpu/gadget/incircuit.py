@@ -127,7 +127,16 @@ class InCircuitGkrGadget:
             raise ValueError("close() on an empty gadget")
         bn = log2_ceil(self.io.index)
         zero = cs.constant(0)
-        hz = cs.constant(_HASH_OF_ZEROES)
+        # padding output = the circuit's own zero-input output (for the
+        # default MiMC circuit this is Perm_0(0), gadget.go:19-31; for a
+        # custom circuit the device witness would otherwise disagree)
+        from ..circuits.circuit import assign_scalar
+
+        pad_out = assign_scalar(
+            self.circuit, [[0]] * self.io.input_arity
+        )[-1][0]
+        assert len(self.circuit) != 94 or pad_out == _HASH_OF_ZEROES
+        hz = cs.constant(pad_out)
         while self.io.index < (1 << bn):
             # constant padding entries (gadget.go:58-66): no wires
             self.io.push(cs, [zero] * self.io.input_arity, hz)
@@ -297,11 +306,16 @@ class GadgetCircuit:
         """Solve pass (solution.go:27-50): retrace with the commitment keys
         firing, check the structure matches the compile pass, fix the
         placeholder. Returns (solution, krs_gkr_priv, rho)."""
+        # the key partitions carry CANONICAL (post-compile-remap) wire ids;
+        # close() matches them against the RAW trace ids of _wire_of —
+        # translate back through the compile pass's wire map (the solve
+        # trace replays the identical allocation sequence, so raw ids match)
+        raw_of = {v: k for k, v in compiled.r1cs.wire_map.items()}
         commit_keys = (
             vk.pub_k_gkr,
             pk.priv_k_gkr_sigma,
-            vk.pub_gkr_wires,
-            pk.priv_gkr_wires,
+            [raw_of[w] for w in vk.pub_gkr_wires],
+            [raw_of[w] for w in pk.priv_gkr_wires],
         )
         cs, gadget, rho, krs_gkr_priv = self._trace(commit_keys=commit_keys)
         r1cs = cs.compile()

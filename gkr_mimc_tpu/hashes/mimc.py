@@ -93,6 +93,9 @@ def mimc_hash_device(msgs):
 
     from ..ops import kernels as K
 
+    # NB: GKR_FS_KERNEL (like all kernel env knobs) is read at TRACE time;
+    # programs are cached per shape, so flipping it mid-process does not
+    # retrace — A/B it across separate processes (tests/test_hotpath.py).
     if K.pallas_enabled() and os.environ.get("GKR_FS_KERNEL", "1") == "1":
         if msgs.ndim == 3:  # grouped: (16, K, G) -> (16, G)
             return K.mimc_hash_fs_g(msgs)

@@ -226,6 +226,8 @@ def mimc_hash_fs(msgs):
         jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :MIMC_FS_ROUNDS].set(arks_cols)
     )
     unroll = int(os.environ.get("GKR_FS_UNROLL", "7"))  # 91 = 7 * 13
+    # a non-divisor would silently DROP rounds from the transcript hash
+    assert MIMC_FS_ROUNDS % unroll == 0, "GKR_FS_UNROLL must divide 91"
     msgs_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :k].set(msgs)
     out = pl.pallas_call(
         _fs_hash_kernel(k, unroll),
@@ -601,6 +603,7 @@ def mimc_hash_fs_g(msgs):
     k = msgs.shape[1]
     g = msgs.shape[2]
     unroll = int(os.environ.get("GKR_FS_UNROLL", "7"))
+    assert MIMC_FS_ROUNDS % unroll == 0, "GKR_FS_UNROLL must divide 91"
     arks_cols = jnp.moveaxis(arks_scan_tensor(MIMC_FS_ROUNDS), 0, 1)
     arks_pad = (
         jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :MIMC_FS_ROUNDS].set(arks_cols)

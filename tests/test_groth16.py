@@ -166,6 +166,31 @@ def test_fix_solution_semantics():
         s.fix_solution()
 
 
+def test_gadget_pipeline_public_after_witness():
+    """Regression: a user circuit that allocates a public input AFTER a
+    witness makes the compile remap non-identity; the commitment step must
+    translate the canonical key-partition wire ids back to raw trace ids
+    (a mismatch produced a wrong rho and failed verification)."""
+    from gkr_mimc_tpu.gadget.incircuit import GadgetCircuit, setup
+    from gkr_mimc_tpu.hashes.mimc import mimc_keyed_permutation
+
+    x_val = 21
+    h_val = mimc_keyed_permutation(x_val, 0)
+
+    def define(cs, gadget):
+        x = cs.witness(x_val)  # raw wire BEFORE the public input below
+        out = cs.public_input((h_val + 2 * 0 + x_val) % scalar.P)
+        h = gadget.update_hasher(cs, cs.constant(0), x)
+        cs.assert_is_equal(h, out)
+
+    circ = GadgetCircuit(define)
+    compiled = circ.compile()
+    assert compiled.r1cs.n_public == 2  # rho + the user's public output
+    pk, vk = setup(compiled)
+    proof, public_values = circ.prove(compiled, pk, vk)
+    G.verify(proof, vk, public_values)
+
+
 def test_gadget_pipeline_end_to_end():
     """Compile -> Setup -> Solve -> Prove -> Verify on a 1-hash circuit
     (the analog of prover/gadget/prover_test.go:42-79). bn == 0 keeps the
