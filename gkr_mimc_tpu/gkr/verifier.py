@@ -61,12 +61,14 @@ def _hash_coeff_rows(*coeffs_rows):
     return jnp.transpose(hashed, (1, 0)).reshape(g, r, fr.L)
 
 
-def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> None:
-    """inputs: list of (16, N) input tables; outputs: (16, N) output table;
-    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid."""
+def _build_leaves(circuit: Circuit, proof: GKRProof, inputs: list, outputs,
+                  qprime):
+    """Dispatch all device work for one instance's verification and return
+    the ordered leaf list (still async device arrays) plus the
+    challenge-batch grouping."""
     nlayers = len(circuit)
 
-    # dispatch the O(2**bn) multilinear evals (still async at this point)
+    # the O(2**bn) multilinear evals
     out_eval_dev = _evaluate_jit(outputs, jax.numpy.asarray(qprime))[:, None]
     in_evals_dev = [
         _evaluate_jit(inputs[l], proof.qprimes[l][0])[:, None]
@@ -88,8 +90,6 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
             *(proof.sumcheck_proofs[l].coeffs for l in layers)
         )
 
-    # ONE transfer for everything the host math needs (a per-artifact
-    # device_get costs a full tunnel round trip on remote TPU backends).
     chal_leaves = [chal_devs[s] for s in groups]
     leaves = (
         [c for c in proof.claims if c is not None]
@@ -100,6 +100,12 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
         + in_evals_dev
         + [jax.numpy.asarray(qprime)]
     )
+    return leaves, groups
+
+
+def _fetch_leaves(leaves):
+    """ONE transfer for everything the host math needs (a per-artifact
+    device_get costs a full tunnel round trip on remote TPU backends)."""
     flat = np.asarray(jax.device_get(_concat_flat(*leaves)))
     out_leaves = []
     off = 0
@@ -107,6 +113,19 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
         size = int(np.prod(l.shape)) if l.shape else 1
         out_leaves.append(flat[off : off + size].reshape(l.shape))
         off += size
+    return out_leaves
+
+
+def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> None:
+    """inputs: list of (16, N) input tables; outputs: (16, N) output table;
+    qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid."""
+    leaves, groups = _build_leaves(circuit, proof, inputs, outputs, qprime)
+    _host_verify(circuit, proof, _fetch_leaves(leaves), groups, len(inputs))
+
+
+def _host_verify(circuit: Circuit, proof: GKRProof, out_leaves, groups,
+                 n_inputs: int) -> None:
+    nlayers = len(circuit)
     it = iter(out_leaves)
 
     def take(seq):
@@ -118,7 +137,7 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
     chals_np = {s: next(it) for s in groups}
     host = {
         "out_eval": next(it),
-        "in_evals": [next(it) for _ in in_evals_dev],
+        "in_evals": [next(it) for _ in range(n_inputs)],
         "qprime": next(it),
     }
 
@@ -156,7 +175,7 @@ def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> 
             circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer
         )
 
-    for layer in range(len(inputs)):
+    for layer in range(n_inputs):
         got = fr.to_int(host["in_evals"][layer])
         if got != claims_int[layer][0]:
             raise GKRError(
@@ -192,19 +211,40 @@ def slice_group(proof: GKRProof, g: int) -> GKRProof:
 def verify_grouped(circuit: Circuit, proof: GKRProof, inputs: list, outputs,
                    qprime) -> None:
     """Verify every instance of a grouped proof: inputs/outputs (16, G, N),
-    qprime (bn, G, 16). Raises GKRError naming the failing group."""
+    qprime (bn, G, 16). Raises GKRError naming the failing group.
+
+    All G lanes' device work is dispatched up front and fetched in ONE
+    transfer (the per-lane round trip dominated grouped verification on
+    remote backends); the host math then runs per lane."""
     n_groups = qprime.shape[1]
+    per_group = []
+    all_leaves = []
     for g in range(n_groups):
+        sliced = slice_group(proof, g)
+        leaves, groups = _build_leaves(
+            circuit,
+            sliced,
+            [x[:, g] for x in inputs],
+            outputs[:, g],
+            qprime[:, g],
+        )
+        per_group.append((sliced, groups, len(leaves)))
+        all_leaves.extend(leaves)
+
+    out_leaves = _fetch_leaves(all_leaves)
+    off = 0
+    for g, (sliced, groups, n_leaves) in enumerate(per_group):
         try:
-            verify(
+            _host_verify(
                 circuit,
-                slice_group(proof, g),
-                [x[:, g] for x in inputs],
-                outputs[:, g],
-                qprime[:, g],
+                sliced,
+                out_leaves[off : off + n_leaves],
+                groups,
+                len(inputs),
             )
         except GKRError as e:
             raise GKRError(f"group {g}: {e}") from e
+        off += n_leaves
 
 
 def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer) -> None:
