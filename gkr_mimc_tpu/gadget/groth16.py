@@ -93,6 +93,15 @@ def _toxic(seed: bytes, tag: bytes) -> int:
     return v or 1
 
 
+def _fresh_seed() -> bytes:
+    """Real randomness for setup toxic waste / proof blinding (the
+    reference's SetRandom, prove.go:161-167 and setup.go:20-44). Tests
+    inject explicit seeds instead (the DummySetup flavor, setup.go:64-82)."""
+    import os
+
+    return os.urandom(32)
+
+
 def _batch_inv(xs: list[int]) -> list[int]:
     """Montgomery batch inversion: one modexp for n inverses."""
     n = len(xs)
@@ -130,12 +139,15 @@ def _domain_size(n: int) -> int:
     return d
 
 
-def setup(r1cs: CompiledR1CS, gkr_partition, seed: bytes = b"gkr-mimc-tpu-g16"):
-    """CRS generation from seed-derived toxic waste (alpha, beta, gamma,
-    delta, tau, sigma). Deterministic-by-seed: the DummySetup flavor
-    (setup.go:64-82) and the real ceremony differ only in where the seed
-    comes from. `gkr_partition` carries the wire split computed at compile
+def setup(r1cs: CompiledR1CS, gkr_partition, seed: bytes | None = None):
+    """CRS generation from toxic waste (alpha, beta, gamma, delta, tau,
+    sigma). With seed=None (the default) the waste comes from os.urandom —
+    the real Setup (setup.go:20-44); passing an explicit seed gives the
+    deterministic DummySetup flavor (setup.go:64-82) for tests.
+    `gkr_partition` carries the wire split computed at compile
     time (cs.go:39-91 analog; see gadget/incircuit.py)."""
+    if seed is None:
+        seed = _fresh_seed()
     alpha = _toxic(seed, b"alpha")
     beta = _toxic(seed, b"beta")
     gamma = _toxic(seed, b"gamma")
@@ -338,7 +350,7 @@ def prove(
     pk: Groth16ProvingKey,
     krs_gkr_priv: tuple,
     initial_randomness: int,
-    seed: bytes = b"gkr-mimc-tpu-rs",
+    seed: bytes | None = None,
 ) -> GadgetGroth16Proof:
     """ComputeProof (prove.go:45-98) + ComputeGroth16Proof (prove.go:100-308)
     with the K multiexp split: the sigma-marked GKR commitment comes in as
@@ -353,7 +365,12 @@ def prove(
     d = _domain_size(len(r1cs.constraints))
     h = compute_h(a_vals, b_vals, c_vals, d)
 
-    # blinding (deterministic by seed here; SetRandom in the reference)
+    # blinding: fresh randomness per proof by default (the reference's
+    # SetRandom, prove.go:161-167) — deterministic blinding would make
+    # every proof non-hiding and repeat proofs identical. Tests may inject
+    # a seed for reproducibility.
+    if seed is None:
+        seed = _fresh_seed()
     r_blind = _toxic(seed, b"r")
     s_blind = _toxic(seed, b"s")
 

@@ -333,9 +333,10 @@ class GadgetCircuit:
         compiled: GadgetR1CS,
         pk: Groth16ProvingKey,
         vk: Groth16VerifyingKey,
-        seed: bytes = b"gkr-mimc-tpu-rs",
+        seed: bytes | None = None,
     ):
-        """Prove = Solve + ComputeProof (prove.go:26-42)."""
+        """Prove = Solve + ComputeProof (prove.go:26-42). seed=None (the
+        default) samples fresh r/s blinding per proof (prove.go:161-167)."""
         solution, krs_gkr_priv, rho = self.solve(compiled, pk, vk)
         solved = CompiledR1CS(
             constraints=compiled.r1cs.constraints,
@@ -351,6 +352,7 @@ class GadgetCircuit:
         return proof, public_values
 
 
-def setup(compiled: GadgetR1CS, seed: bytes = b"gkr-mimc-tpu-g16"):
-    """Setup/DummySetup (setup.go:44-82): one code path, seed-derived."""
+def setup(compiled: GadgetR1CS, seed: bytes | None = None):
+    """Setup (seed=None: os.urandom toxic waste) / DummySetup (explicit
+    seed), one code path (setup.go:44-82)."""
     return groth16_mod.setup(compiled.r1cs, compiled.partition, seed=seed)

@@ -87,6 +87,32 @@ def test_groth16_roundtrip_and_tampering():
         G.verify(bad, vk, [rho_seed, 147])
 
 
+def test_proof_randomness():
+    """Proof blinding is sampled fresh per proof (prove.go:161-167
+    SetRandom): two proofs of the SAME witness under the same keys must
+    differ (hiding) while both verify; an injected seed reproduces."""
+    cs, rho_seed = _tiny_r1cs()
+    r1cs = cs.compile()
+    n_priv = r1cs.n_wires - r1cs.n_public - 1
+    partition = ([], [], [2], [r1cs.n_public + 1 + i for i in range(n_priv)])
+    pk, vk = G.setup(r1cs, partition, seed=b"test-setup")
+    p1 = G.prove(r1cs, pk, g1.INF, rho_seed)
+    p2 = G.prove(r1cs, pk, g1.INF, rho_seed)
+    assert g1.to_affine(p1.ar) != g1.to_affine(p2.ar)
+    assert g1.to_affine(p1.krs) != g1.to_affine(p2.krs)
+    G.verify(p1, vk, [rho_seed, 147])
+    G.verify(p2, vk, [rho_seed, 147])
+    # seed injection is reproducible (the test/DummySetup flavor)
+    p3 = G.prove(r1cs, pk, g1.INF, rho_seed, seed=b"fixed")
+    p4 = G.prove(r1cs, pk, g1.INF, rho_seed, seed=b"fixed")
+    assert g1.to_affine(p3.ar) == g1.to_affine(p4.ar)
+    # real setup: toxic waste differs run to run
+    pk2, vk2 = G.setup(r1cs, partition)
+    pk3, _ = G.setup(r1cs, partition)
+    assert g1.to_affine(pk2.alpha1) != g1.to_affine(pk3.alpha1)
+    G.verify(G.prove(r1cs, pk2, g1.INF, rho_seed), vk2, [rho_seed, 147])
+
+
 def test_sigma_marking_blocks_key_mixing():
     """The sigma marking (setup.go:133-146): a commitment computed with
     the UNMARKED generator-derived keys fails the pairing even though the
