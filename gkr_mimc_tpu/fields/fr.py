@@ -462,6 +462,65 @@ def _redc_wide_ext(cols, extra_over):
     return tot[L:]  # < p + V/R < 2p: valid lazy rep
 
 
+def _skew_cols_k(prod_planes):
+    """Generalized _skew_cols for (K, K, *S) planes: entry (i, j) belongs
+    to column i+j; returns (2K, *S) column sums. Exact for entries whose
+    per-column sums stay below 2**32."""
+    k = prod_planes.shape[0]
+    s = prod_planes.shape[2:]
+    padded = jnp.concatenate(
+        [prod_planes, jnp.zeros((k, 1) + s, dtype=prod_planes.dtype)], axis=1
+    )
+    grid = padded.reshape((k + 1, k) + s)
+    q = jax.lax.broadcasted_iota(jnp.int32, (k + 1, k) + (1,) * len(s), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (k + 1, k) + (1,) * len(s), 1)
+    gi = grid.astype(jnp.int32)
+    low = jnp.sum(jnp.where(q <= r, gi, 0), axis=0)
+    high = jnp.sum(jnp.where(q > r, gi, 0), axis=0)
+    return jnp.concatenate([low, high], axis=0).astype(U32)
+
+
+def redc_extra_wide(cols):
+    """REDC of an arbitrarily wide redundant value: cols (K, *S) uint32
+    16-bit-basis columns (each < 2**31, K >= 16, value < R * 2**240ish).
+    Returns the (16, *S) lazy representative of value * R^-1 mod p.
+
+    Runs REDC twice (each pass divides by R and shrinks by 16 columns)
+    then one Montgomery multiply by R^2 to net a single R^-1 — the
+    finishing step for deferred-reduction accumulators whose entries are
+    full 512-bit products (ops/kernels.py coefficient-form partial evals).
+    """
+    k = cols.shape[0]
+    s = cols.shape[1:]
+    assert k >= 16
+
+    def redc_once(c):
+        kk = c.shape[0]
+        v = _carry_norm(
+            jnp.concatenate([c, jnp.zeros((2,) + s, dtype=U32)], axis=0), 31
+        )  # (kk+2, *S) exact 16-bit limbs
+        mlo, mhi = _const_mul_planes(v[:L], _NP16)
+        m_cols = _skew_cols(mlo)[:L] + _shift_up(_skew_cols(mhi)[:L], 1)
+        m = _carry_norm(m_cols, 22)
+        plo, phi = _const_mul_planes(m, P_LIMBS)
+        mp_cols = _skew_cols(plo) + _shift_up(_skew_cols(phi), 1)  # (32, *S)
+        n_tot = max(kk + 2, 32)
+
+        def pad_to(x, n):
+            return jnp.concatenate(
+                [x, jnp.zeros((n - x.shape[0],) + s, dtype=U32)], axis=0
+            )
+
+        tot = _carry_norm(pad_to(v, n_tot) + pad_to(mp_cols, n_tot), 23)
+        return tot[L:]  # value/R, (n_tot-16) exact 16-bit limbs
+
+    t = redc_once(cols)  # ~ (K-14, *S)
+    t2 = redc_once(t)  # (max(K-14+2,32)-16, *S): < 2p once K <= 46
+    t2 = t2[:L]  # the value fits 16 limbs (< 2p) for our input ranges
+    # two REDCs net R^-2; one Montgomery multiply by R^2 restores R^-1
+    return mul(t2, _r2_tensor(len(s)))
+
+
 def _r2_tensor(batch_ndim):
     return jnp.asarray(
         np.array(R2_LIMBS, dtype=np.uint32).reshape((L,) + (1,) * batch_ndim)

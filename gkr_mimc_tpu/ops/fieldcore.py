@@ -156,6 +156,143 @@ def _add_row0(cols, over):
     return cols + pad
 
 
+def shrink_rows(cols, bound_bits: int, width: int = W, with_over: bool = False):
+    """The shrink passes of carry_rows WITHOUT the final Kogge-Stone:
+    returns columns < 2**(width+1) (lazy digits) and, optionally, the
+    accumulated multi-bit overflow out of the top row. O(1) passes instead
+    of O(log L) — used where downstream consumers tolerate lazy digits."""
+    x = cols
+    over = None
+    mask = np.uint32((1 << width) - 1)
+    bound = (1 << bound_bits) - 1
+    while bound > (1 << (width + 1)) - 2:
+        hi = x >> width
+        if with_over:
+            top = hi[x.shape[0] - 1 : x.shape[0]]
+            over = top if over is None else over + top
+        x = (x & mask) + _shift_rows(hi, 1)
+        bound = mask + (bound >> width)
+    if with_over:
+        return x, (over if over is not None else jnp.zeros_like(x[0:1]))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# MXU-REDC multiply
+# ---------------------------------------------------------------------------
+#
+# The two REDC constant products (x NPRIME mod R, x P) are constant-matrix
+# contractions over the limb axis — ideal MXU work (measured ~60 T MAC/s on
+# v5e vs ~0.7-4 T lane-ops/s on the VPU). In an 8-bit digit basis with f32
+# HIGHEST precision every product (< 2**17) and accumulation (< 2**23) is
+# exact. Digits are kept LAZY (< 2**9) between stages: the shrink passes
+# above replace the Kogge-Stone lookahead, and masking digit 31 implements
+# the mod-R truncation exactly (the dropped bits are multiples of 2**256;
+# the remaining digits sum below 2**250 + 2**256, so no aliasing).
+
+
+def _digit_perm():
+    """Input-row ordering of the digit vector fed to the MXU: rows 0..15 are
+    the low bytes of the 16 limb columns (digit positions 0,2,..,30), rows
+    16..31 the high bytes (positions 1,3,..,31)."""
+    return [2 * i for i in range(L)] + [2 * i + 1 for i in range(L)]
+
+
+def _build_redc_mats():
+    """(M1, M2) f32 constant matrices for the REDC matmuls.
+
+    M1 (32, 32): digit vector of T_lo (permuted basis) -> 8-bit-basis
+    columns 0..31 of T_lo * NPRIME (i.e. m = T_lo * N' mod R, redundant).
+    M2 (64, 32): digit vector of m (natural basis) -> columns of m * P in
+    8-bit basis, rows reordered even-positions-first so the 16-bit-basis
+    recombination is two static row slices."""
+    np8 = [(NPRIME >> (8 * i)) & 0xFF for i in range(32)]
+    p8 = [(P >> (8 * i)) & 0xFF for i in range(32)]
+    perm = _digit_perm()
+    m1 = np.zeros((32, 32), dtype=np.float32)
+    for k in range(32):
+        for j in range(32):
+            d = k - perm[j]
+            if 0 <= d < 32:
+                m1[k, j] = np8[d]
+    m2 = np.zeros((64, 32), dtype=np.float32)
+    for r in range(64):
+        pos = 2 * r if r < 32 else 2 * (r - 32) + 1
+        for j in range(32):
+            d = pos - j
+            if 0 <= d < 32:
+                m2[r, j] = p8[d]
+    return m1, m2
+
+
+REDC_M1, REDC_M2 = _build_redc_mats()
+
+
+def _f32(x):
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _u32(x):
+    return x.astype(jnp.int32).astype(U32)
+
+
+def _mxu_dot(m, x):
+    """(K, 32) constant x (32, B) digits, exact in f32 HIGHEST."""
+    return jax.lax.dot_general(
+        m,
+        x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def mul_mxu(a, b, m1, m2, square: bool = False):
+    """REDC(a*b) with the constant products on the MXU: (16, B) x (16, B)
+    -> (16, B) lazy reps. m1/m2 are REDC_M1/REDC_M2 passed in as kernel
+    inputs (Mosaic kernels cannot capture constant arrays)."""
+    shape = a.shape
+    acc = _Acc(shape)
+    _accum_product(a, a if square else b, acc, double_cross=square)
+    # lazy 17-bit columns of T (skip the Kogge-Stone: the matmul tolerates
+    # 9-bit lazy digits and the final sum re-carries exactly anyway)
+    t_lo, o1 = shrink_rows(acc.lo, 23, with_over=True)
+    t_hi = shrink_rows(_add_row0(acc.hi, o1), 23)
+
+    # digits of T_lo in the permuted basis; mask digit 31 (mod R)
+    dlo = t_lo & jnp.uint32(0xFF)
+    dhi = t_lo >> 8
+    dhi = jnp.where(_rowid(dhi.shape) == L - 1, dhi & jnp.uint32(0xFF), dhi)
+    digits = jnp.concatenate([dlo, dhi], axis=0)  # (32, B) < 2**9
+
+    m_cols = _u32(_mxu_dot(m1, _f32(digits)))  # (32, B) < 2**23
+    m_dig = shrink_rows(m_cols, 23, width=8)  # lazy < 2**9
+    m_dig = jnp.where(
+        _rowid(m_dig.shape) == 31, m_dig & jnp.uint32(0xFF), m_dig
+    )
+
+    mp = _mxu_dot(m2, _f32(m_dig))  # (64, B) 8-bit-basis cols < 2**23
+    mp_e = _u32(mp[:32])
+    mp_o = _u32(mp[32:])
+    c16 = mp_e + (mp_o << 8)  # (32, B) 16-bit-basis cols < 2**32 - eps
+
+    lo_cols = c16[:L] + t_lo
+    _, o3 = carry_rows(lo_cols, 32, with_over=True)  # exact carry out
+    hi_cols = _add_row0(c16[L:] + t_hi, o3)
+    return carry_rows(hi_cols, 32)
+
+
+def square_mxu(a, m1, m2):
+    return mul_mxu(a, a, m1, m2, square=True)
+
+
+def pow7_mxu(a, m1, m2):
+    x2 = square_mxu(a, m1, m2)
+    x3 = mul_mxu(x2, a, m1, m2)
+    x6 = square_mxu(x3, m1, m2)
+    return mul_mxu(x6, a, m1, m2)
+
+
 def mul(a, b, square: bool = False):
     """REDC(a*b) for lazy reps (< 2p): (16, B) x (16, B) -> (16, B)."""
     shape = a.shape

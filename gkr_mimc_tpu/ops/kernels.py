@@ -163,7 +163,14 @@ def mimc_witness(block, state, arks_cols):
 # (16,1) pow7 and the grid step overhead is ~1us.
 
 
-def _fs_hash_kernel(n_words: int, unroll: int):
+def _fs_mxu() -> bool:
+    """MXU-REDC field mul inside the Fiat-Shamir hash kernel. Measured
+    SLOWER on v5e (3.38ms vs 2.59ms per hash: the (32,32)x(32,1) matmuls
+    are pure latency at batch 1), so off by default; trace-time A/B knob."""
+    return os.environ.get("GKR_FS_MXU", "0") == "1"
+
+
+def _fs_hash_kernel(n_words: int, unroll: int, use_mxu: bool):
     n_steps = MIMC_FS_ROUNDS // unroll
 
     def _col(ref, idx):
@@ -175,7 +182,7 @@ def _fs_hash_kernel(n_words: int, unroll: int):
             jnp.where(lane == idx, v, 0), axis=1, keepdims=True
         ).astype(jnp.uint32)
 
-    def kern(arks_ref, msgs_ref, o_ref, st_ref, res_ref):
+    def kern(m1_ref, m2_ref, arks_ref, msgs_ref, o_ref, st_ref, res_ref):
         k = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -189,11 +196,13 @@ def _fs_hash_kernel(n_words: int, unroll: int):
         def _():
             res_ref[:] = block
 
+        m1, m2 = m1_ref[:], m2_ref[:]
         res = res_ref[:]
         st = st_ref[:]
         for j in range(unroll):  # `unroll` MiMC rounds per grid step
             ark = _col(arks_ref, i * unroll + j)
-            res = fc.pow7(fc.add(fc.add(res, st), ark))
+            t = fc.add(fc.add(res, st), ark)
+            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7(t)
         res_ref[:] = res
 
         @pl.when(i == n_steps - 1)
@@ -230,10 +239,12 @@ def mimc_hash_fs(msgs):
     assert MIMC_FS_ROUNDS % unroll == 0, "GKR_FS_UNROLL must divide 91"
     msgs_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :k].set(msgs)
     out = pl.pallas_call(
-        _fs_hash_kernel(k, unroll),
+        _fs_hash_kernel(k, unroll, _fs_mxu()),
         out_shape=jax.ShapeDtypeStruct((L, 1), jnp.uint32),
         grid=(k, MIMC_FS_ROUNDS // unroll),
         in_specs=[
+            pl.BlockSpec((32, 32), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 32), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -242,7 +253,7 @@ def mimc_hash_fs(msgs):
             pltpu.VMEM((L, 1), jnp.uint32),
             pltpu.VMEM((L, 1), jnp.uint32),
         ],
-    )(arks_pad, msgs_pad)
+    )(jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), arks_pad, msgs_pad)
     return out[:, 0]
 
 
@@ -258,62 +269,74 @@ def _blocksum(v):
     return limbs, over
 
 
-def _cipher_pe_kernel(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref, x1b_ref, x1t_ref, o_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    ark = ark_ref[:]
-    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
-    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
-    x1_b, x1_t = x1b_ref[:], x1t_ref[:]
-
-    d_eq = fc.sub(eq_t, eq_b)
-    d_x0 = fc.sub(x0_t, x0_b)
-    d_x1 = fc.sub(x1_t, x1_b)
-
-    n_evals = o_ref.shape[1]
-    eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
-    for t in range(n_evals):
-        if t == 1:
-            eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
-        elif t > 1:
-            eq_c = fc.add(eq_c, d_eq)
-            x0_c = fc.add(x0_c, d_x0)
-            x1_c = fc.add(x1_c, d_x1)
-        g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
-        prod = fc.mul(eq_c, g)
-        limbs, over = _blocksum(prod)
-        o_ref[0:L, pl.ds(t, 1)] += limbs
-        o_ref[L : L + 1, pl.ds(t, 1)] += over
+def _t_schedule(n_out: int, skip_t0: bool):
+    """The t values a PE kernel computes: 0..n-1, or 1..n (claim trick:
+    the caller derives P(0) = claim - P(1), sumcheck/prover._with_t0)."""
+    start = 1 if skip_t0 else 0
+    return list(range(start, start + n_out))
 
 
-def _identity_pe_kernel(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
-    i = pl.program_id(0)
+def _cipher_pe_kernel(skip_t0: bool):
+    def kern(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref, x1b_ref, x1t_ref,
+             o_ref):
+        i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
-    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
-    d_eq = fc.sub(eq_t, eq_b)
-    d_x0 = fc.sub(x0_t, x0_b)
+        ark = ark_ref[:]
+        eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+        x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+        x1_b, x1_t = x1b_ref[:], x1t_ref[:]
 
-    n_evals = o_ref.shape[1]
-    eq_c, x0_c = eq_b, x0_b
-    for t in range(n_evals):
-        if t == 1:
-            eq_c, x0_c = eq_t, x0_t
-        elif t > 1:
-            eq_c = fc.add(eq_c, d_eq)
-            x0_c = fc.add(x0_c, d_x0)
-        prod = fc.mul(eq_c, x0_c)
-        limbs, over = _blocksum(prod)
-        o_ref[0:L, pl.ds(t, 1)] += limbs
-        o_ref[L : L + 1, pl.ds(t, 1)] += over
+        d_eq = fc.sub(eq_t, eq_b)
+        d_x0 = fc.sub(x0_t, x0_b)
+        d_x1 = fc.sub(x1_t, x1_b)
+
+        eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
+        for col, t in enumerate(_t_schedule(o_ref.shape[1], skip_t0)):
+            if t == 1:
+                eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
+            elif t > 1:
+                eq_c = fc.add(eq_c, d_eq)
+                x0_c = fc.add(x0_c, d_x0)
+                x1_c = fc.add(x1_c, d_x1)
+            g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
+            prod = fc.mul(eq_c, g)
+            limbs, over = _blocksum(prod)
+            o_ref[0:L, pl.ds(col, 1)] += limbs
+            o_ref[L : L + 1, pl.ds(col, 1)] += over
+
+    return kern
+
+
+def _identity_pe_kernel(skip_t0: bool):
+    def kern(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+        x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+        d_eq = fc.sub(eq_t, eq_b)
+        d_x0 = fc.sub(x0_t, x0_b)
+
+        eq_c, x0_c = eq_b, x0_b
+        for col, t in enumerate(_t_schedule(o_ref.shape[1], skip_t0)):
+            if t == 1:
+                eq_c, x0_c = eq_t, x0_t
+            elif t > 1:
+                eq_c = fc.add(eq_c, d_eq)
+                x0_c = fc.add(x0_c, d_x0)
+            prod = fc.mul(eq_c, x0_c)
+            limbs, over = _blocksum(prod)
+            o_ref[0:L, pl.ds(col, 1)] += limbs
+            o_ref[L : L + 1, pl.ds(col, 1)] += over
+
+    return kern
 
 
 def _finish_evals(acc):
@@ -322,13 +345,15 @@ def _finish_evals(acc):
     return fr.mul(plain, fr._r2_tensor(plain.ndim - 1))
 
 
-@partial(jax.jit, static_argnums=(4,))
-def cipher_partial_evals(eq, x0, x1, ark, n_evals: int):
-    """One round's partial evals for the cipher gate: (16, n_evals)."""
+@partial(jax.jit, static_argnums=(4, 5))
+def cipher_partial_evals(eq, x0, x1, ark, n_evals: int, skip_t0: bool = False):
+    """One round's partial evals for the cipher gate: (16, n_evals[-1])
+    (with skip_t0 the t=0 column is omitted — the claim trick)."""
     n = eq.shape[-1]
     mid = n // 2
     b = _block_for(mid)
     nb = mid // b
+    n_out = n_evals - 1 if skip_t0 else n_evals
 
     def bot(i):
         return (0, i)
@@ -337,8 +362,8 @@ def cipher_partial_evals(eq, x0, x1, ark, n_evals: int):
         return (0, i + nb)
 
     acc = pl.pallas_call(
-        _cipher_pe_kernel,
-        out_shape=jax.ShapeDtypeStruct((L + 1, n_evals), jnp.uint32),
+        _cipher_pe_kernel(skip_t0),
+        out_shape=jax.ShapeDtypeStruct((L + 1, n_out), jnp.uint32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -349,17 +374,18 @@ def cipher_partial_evals(eq, x0, x1, ark, n_evals: int):
             pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L + 1, n_evals), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((L + 1, n_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )(ark.reshape(L, 1), eq, eq, x0, x0, x1, x1)
     return _finish_evals(acc)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def identity_partial_evals(eq, x0, n_evals: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def identity_partial_evals(eq, x0, n_evals: int, skip_t0: bool = False):
     n = eq.shape[-1]
     mid = n // 2
     b = _block_for(mid)
     nb = mid // b
+    n_out = n_evals - 1 if skip_t0 else n_evals
 
     def bot(i):
         return (0, i)
@@ -368,8 +394,8 @@ def identity_partial_evals(eq, x0, n_evals: int):
         return (0, i + nb)
 
     acc = pl.pallas_call(
-        _identity_pe_kernel,
-        out_shape=jax.ShapeDtypeStruct((L + 1, n_evals), jnp.uint32),
+        _identity_pe_kernel(skip_t0),
+        out_shape=jax.ShapeDtypeStruct((L + 1, n_out), jnp.uint32),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
@@ -377,9 +403,341 @@ def identity_partial_evals(eq, x0, n_evals: int):
             pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L + 1, n_evals), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((L + 1, n_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )(eq, eq, x0, x0)
     return _finish_evals(acc)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-form partial evals (v3)
+# ---------------------------------------------------------------------------
+#
+# Instead of evaluating the round polynomial at t = 0..deg+1 (deg+2 gate
+# evaluations per element pair) and interpolating, expand the gate on the
+# t-line in coefficient form. For the cipher gate s(t) = u + t*v:
+#   s^7 = sum_k C(7,k) u^(7-k) v^k t^k        (18 field muls per pair)
+#   P(t) = eq(t) * s(t)^7, eq(t) = e + t*de
+# so the round coefficients are  P_m = C(7,m)<e, raw_m> + C(7,m-1)<de,
+# raw_(m-1)>  with raw_k = u^(7-k) v^k — and the weighted hypercube sums
+# <w, raw> ride the MXU: in an 8-bit digit basis,
+#   sum_y w_y * raw_y  has limb-product matrix  M[i,j] = <w_i-row, raw_j-row>
+# which is ONE (64, B) x (raws, B) bf16 matmul per 128-lane chunk. The
+# binomial constants and the e/de recombination move entirely out of the
+# per-element loop (applied to the reduced values, finish_coeff_acc).
+# Interpolation disappears: the kernel's outputs ARE the proof coefficients
+# (bit-identical to InterpolateOnRange of the t-evaluations — same unique
+# polynomial, both computed exactly).
+#
+# The kernel is group-major 2D: tables are (16, G*n) with group g occupying
+# lanes [g*n, (g+1)*n); per-group scalars and accumulators are routed by
+# BlockSpec index_maps, so G=1 (single instance) and G=8 (grouped lanes)
+# run the IDENTICAL kernel body at identical per-element cost — the fix for
+# round 2's 5x-slower 3D grouped kernels.
+
+_MXU_CHUNK = 128
+
+
+def _digits8_bf16(x):
+    """(16, B) u32 16-bit limbs -> (32, B) bf16 digits, rows [lo bytes;
+    hi bytes] (digit positions 0,2..30 | 1,3..31). Values <= 255 are exact
+    in bf16, so a single-pass MXU matmul accumulates exactly in f32."""
+    d = jnp.concatenate([x & jnp.uint32(0xFF), x >> 8], axis=0)
+    return d.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _cipher_raws(x0b, x0t, x1b, x1t, ark, m1, m2):
+    """The 8 raw vectors u^(7-k) v^k of the cipher gate (6 squares + 12
+    muls via the MXU-REDC field core)."""
+    u = fc.add(fc.add(x0b, x1b), ark)
+    s_top = fc.add(fc.add(x0t, x1t), ark)
+    v = fc.sub(s_top, u)
+    u2 = fc.square_mxu(u, m1, m2)
+    u3 = fc.mul_mxu(u2, u, m1, m2)
+    u4 = fc.square_mxu(u2, m1, m2)
+    u5 = fc.mul_mxu(u2, u3, m1, m2)
+    u6 = fc.square_mxu(u3, m1, m2)
+    u7 = fc.mul_mxu(u3, u4, m1, m2)
+    v2 = fc.square_mxu(v, m1, m2)
+    v3 = fc.mul_mxu(v2, v, m1, m2)
+    v4 = fc.square_mxu(v2, m1, m2)
+    v5 = fc.mul_mxu(v2, v3, m1, m2)
+    v6 = fc.square_mxu(v3, m1, m2)
+    v7 = fc.mul_mxu(v3, v4, m1, m2)
+    return [
+        u7,
+        fc.mul_mxu(u6, v, m1, m2),
+        fc.mul_mxu(u5, v2, m1, m2),
+        fc.mul_mxu(u4, v3, m1, m2),
+        fc.mul_mxu(u3, v4, m1, m2),
+        fc.mul_mxu(u2, v5, m1, m2),
+        fc.mul_mxu(u, v6, m1, m2),
+        v7,
+    ]
+
+
+def _weighted_acc_update(o_ref, e, de, raws):
+    """Accumulate the (4-piece) limb-product matrices of <[e; de], raw_k>
+    into o_ref (1, 4, 64, 32*NR)."""
+    b = e.shape[-1]
+    wd = jnp.concatenate([_digits8_bf16(e), _digits8_bf16(de)], axis=0)
+    rd = jnp.concatenate([_digits8_bf16(r) for r in raws], axis=0)
+    acc = None
+    for c in range(b // _MXU_CHUNK):
+        sl = slice(c * _MXU_CHUNK, (c + 1) * _MXU_CHUNK)
+        part = jax.lax.dot_general(
+            wd[:, sl],
+            rd[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (64, 32*NR) f32, exact (chunk sums < 2**23)
+        p32 = part.astype(jnp.int32).astype(jnp.uint32)
+        acc = p32 if acc is None else acc + p32  # < 2**25 for b <= 512
+    o_ref[0, 0] += acc & jnp.uint32(0xFF)
+    o_ref[0, 1] += (acc >> 8) & jnp.uint32(0xFF)
+    o_ref[0, 2] += (acc >> 16) & jnp.uint32(0xFF)
+    o_ref[0, 3] += acc >> 24
+
+
+def _group_col(ref, g_idx):
+    """Select one group's (16, 1) scalar from a (16, 128)-padded table
+    (dynamic lane slicing needs 128-alignment; masked reduce is free)."""
+    v = ref[:].astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.sum(jnp.where(lane == g_idx, v, 0), axis=1, keepdims=True).astype(
+        jnp.uint32
+    )
+
+
+def _cipher_coeff_kernel(bpg: int):
+    def kern(m1_ref, m2_ref, ark_ref, eb_ref, et_ref, x0b_ref, x0t_ref,
+             x1b_ref, x1t_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i % bpg == 0)  # first block of each group's accumulator
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        m1, m2 = m1_ref[:], m2_ref[:]
+        ark = _group_col(ark_ref, i // bpg)
+        e = eb_ref[:]
+        de = fc.sub(et_ref[:], e)
+        raws = _cipher_raws(
+            x0b_ref[:], x0t_ref[:], x1b_ref[:], x1t_ref[:], ark, m1, m2
+        )
+        _weighted_acc_update(o_ref, e, de, raws)
+
+    return kern
+
+
+def _identity_coeff_kernel(bpg: int):
+    def kern(m1_ref, m2_ref, eb_ref, et_ref, x0b_ref, x0t_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i % bpg == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        m1, m2 = m1_ref[:], m2_ref[:]
+        e = eb_ref[:]
+        de = fc.sub(et_ref[:], e)
+        u = x0b_ref[:]
+        v = fc.sub(x0t_ref[:], u)
+        _weighted_acc_update(o_ref, e, de, [u, v])
+
+    return kern
+
+
+def _coeff_geometry(total: int, g: int):
+    n = total // g
+    mid = n // 2
+    b = min(max(DEFAULT_BLOCK, 512), mid)
+    bpg = mid // b        # blocks per group half
+    npb = n // b          # group stride in block units
+    return b, bpg, npb
+
+
+def _coeff_pe_call(kernel_factory, scalar_args, tables, g: int, n_raws: int):
+    """Shared plumbing: tables (16, G*n) group-major (group g occupies
+    lanes [g*n, (g+1)*n)); scalar_args are (16, G) per-group values routed
+    by block index; accumulator output (G, 4, 64, 32*NR)."""
+    total = tables[0].shape[-1]
+    b, bpg, npb = _coeff_geometry(total, g)
+
+    def bot(i):
+        return (0, (i // bpg) * npb + (i % bpg))
+
+    def top(i):
+        return (0, (i // bpg) * npb + (i % bpg) + bpg)
+
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2)]
+    for a in scalar_args:
+        in_specs.append(
+            pl.BlockSpec((L, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.zeros((L, 128), dtype=jnp.uint32).at[:, : a.shape[1]].set(a))
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    return pl.pallas_call(
+        kernel_factory(bpg),
+        out_shape=jax.ShapeDtypeStruct((g, 4, 64, 32 * n_raws), jnp.uint32),
+        grid=(g * bpg,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 4, 64, 32 * n_raws),
+            lambda i: (i // bpg, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(*args)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def cipher_coeff_acc(eq, x0, x1, ark, g: int):
+    """Coefficient-form cipher round: eq/x0/x1 (16, G*n) group-major, ark
+    (16, G) -> piece accumulators (G, 4, 64, 256)."""
+    return _coeff_pe_call(_cipher_coeff_kernel, [ark], [eq, x0, x1], g, 8)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def identity_coeff_acc(eq, x0, g: int):
+    return _coeff_pe_call(_identity_coeff_kernel, [], [eq, x0], g, 2)
+
+
+def _fold_kernel_gm(nt: int, bpg: int):
+    def kern(m1_ref, m2_ref, r_ref, *refs):
+        i = pl.program_id(0)
+        m1, m2 = m1_ref[:], m2_ref[:]
+        r = _group_col(r_ref, i // bpg)  # (16, 1)
+        for k in range(nt):
+            bot = refs[2 * k][:]
+            top = refs[2 * k + 1][:]
+            refs[2 * nt + k][:] = fc.add(
+                bot, fc.mul_mxu(fc.sub(top, bot), r, m1, m2)
+            )
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def fold_tables_gm(tables, r, nt: int, g: int):
+    """Group-major fold with the MXU-REDC multiply: tables (16, G*n), r
+    (16, G) -> [(16, G*n/2)]. G=1 is the single-instance fold."""
+    total = tables[0].shape[-1]
+    b, bpg, npb = _coeff_geometry(total, g)
+    mid_total = total // 2
+
+    def bot(i):
+        return (0, (i // bpg) * npb + (i % bpg))
+
+    def top(i):
+        return (0, (i // bpg) * npb + (i % bpg) + bpg)
+
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(fc.REDC_M1),
+        jnp.asarray(fc.REDC_M2),
+        jnp.zeros((L, 128), dtype=jnp.uint32).at[:, : r.shape[-1]].set(
+            r.reshape(L, -1)
+        ),
+    ]
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    out_shapes = [
+        jax.ShapeDtypeStruct((L, mid_total), jnp.uint32) for _ in tables
+    ]
+    out_specs = [
+        pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in tables
+    ]
+    outs = pl.pallas_call(
+        _fold_kernel_gm(nt, bpg),
+        out_shape=out_shapes,
+        grid=(g * bpg,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(*args)
+    return list(outs)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _binom_tensor_np(degree: int):
+    """C(degree, k) for k = 0..degree as Montgomery limb columns."""
+    import math
+
+    from ..fields.bn254 import int_to_limbs, R1, P as _P
+
+    cs = [math.comb(degree, k) for k in range(degree + 1)]
+    out = np.zeros((L, len(cs)), dtype=np.uint32)
+    for i, v in enumerate(cs):
+        out[:, i] = int_to_limbs(v * R1 % _P)
+    return out
+
+
+_DIGIT_NAT = np.argsort(
+    np.array([2 * i for i in range(16)] + [2 * i + 1 for i in range(16)])
+)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def finish_coeff_acc(acc, n_raws: int, degree: int):
+    """(G, 4, 64, 32*NR) piece accumulators -> (16, deg+2, G) round
+    coefficients (Montgomery lazy): digit-position skew, deferred wide
+    REDC, then  P_m = C_m <e, raw_m> + C_(m-1) <de, raw_(m-1)>  with the
+    binomial constants C of the gate's (u + t v)^deg expansion."""
+    g = acc.shape[0]
+    nat = jnp.asarray(_DIGIT_NAT)
+    acc = jnp.take(acc.reshape(g, 4, 2, 32, n_raws, 32), nat, axis=3)
+    acc = jnp.take(acc, nat, axis=5)  # (G, 4, w, 32, NR, 32)
+    planes = jnp.transpose(acc, (3, 5, 0, 1, 2, 4))  # (32, 32, G, 4, w, NR)
+    cols8 = fr._skew_cols_k(planes)  # (64, G, 4, w, NR) < 2**23
+    # piece p shifts the digit position by p; pad for carries then combine
+    s = cols8.shape[2:]  # (4, w, NR) minus the G axis handled explicitly
+    padded = jnp.concatenate(
+        [cols8, jnp.zeros((8,) + cols8.shape[1:], dtype=jnp.uint32)], axis=0
+    )  # (72, G, 4, w, NR)
+    total8 = jnp.zeros((72, g) + cols8.shape[3:], dtype=jnp.uint32)
+    for p in range(4):
+        shifted = jnp.concatenate(
+            [
+                jnp.zeros((p, g) + cols8.shape[3:], dtype=jnp.uint32),
+                padded[: 72 - p, :, p],
+            ],
+            axis=0,
+        )
+        total8 = total8 + shifted  # (72, G, w, NR) < 2**25
+    total8 = fr._carry_norm(total8, 25, width=8)  # exact 8-bit digits
+    c16 = total8[0::2] + (total8[1::2] << 8)  # (36, G, w, NR) < 2**16
+    ws = fr.redc_extra_wide(c16)  # (16, G, w, NR) Montgomery lazy
+    ie = ws[:, :, 0, :]  # (16, G, NR)
+    id_ = ws[:, :, 1, :]
+    assert n_raws == degree + 1
+    if degree > 1:  # binomial constants (trivial for the identity gate)
+        cm = jnp.asarray(_binom_tensor_np(degree))[:, None, :]
+        ie = fr.mul(ie, cm)
+        id_ = fr.mul(id_, cm)
+    zero = jnp.zeros((L, g, 1), dtype=jnp.uint32)
+    p_e = jnp.concatenate([ie, zero], axis=2)  # m = 0..deg+1
+    p_d = jnp.concatenate([zero, id_], axis=2)
+    coeffs = fr.add(p_e, p_d)  # (16, G, deg+2)
+    return jnp.swapaxes(coeffs, 1, 2)  # (16, deg+2, G)
 
 
 # ---------------------------------------------------------------------------
@@ -392,65 +750,69 @@ def identity_partial_evals(eq, x0, n_evals: int):
 # lanes — so the group costs the same wall-clock as a single instance.
 
 
-def _cipher_pe_kernel_g(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref,
-                        x1b_ref, x1t_ref, o_ref):
-    i = pl.program_id(0)
+def _cipher_pe_kernel_g(skip_t0: bool):
+    def kern(ark_ref, eqb_ref, eqt_ref, x0b_ref, x0t_ref, x1b_ref, x1t_ref,
+             o_ref):
+        i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-    ark = ark_ref[:][:, :, None]  # (L, G, 1)
-    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
-    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
-    x1_b, x1_t = x1b_ref[:], x1t_ref[:]
+        ark = ark_ref[:][:, :, None]  # (L, G, 1)
+        eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+        x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+        x1_b, x1_t = x1b_ref[:], x1t_ref[:]
 
-    d_eq = fc.sub(eq_t, eq_b)
-    d_x0 = fc.sub(x0_t, x0_b)
-    d_x1 = fc.sub(x1_t, x1_b)
+        d_eq = fc.sub(eq_t, eq_b)
+        d_x0 = fc.sub(x0_t, x0_b)
+        d_x1 = fc.sub(x1_t, x1_b)
 
-    n_evals = o_ref.shape[1]
-    eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
-    for t in range(n_evals):
-        if t == 1:
-            eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
-        elif t > 1:
-            eq_c = fc.add(eq_c, d_eq)
-            x0_c = fc.add(x0_c, d_x0)
-            x1_c = fc.add(x1_c, d_x1)
-        g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
-        prod = fc.mul(eq_c, g)  # (L, G, b)
-        cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
-        limbs, over = fc.carry_rows(cols, 26, with_over=True)  # (L,G),(1,G)
-        o_ref[0:L, pl.ds(t, 1), :] += limbs[:, None, :]
-        o_ref[L : L + 1, pl.ds(t, 1), :] += over[:, None, :]
+        eq_c, x0_c, x1_c = eq_b, x0_b, x1_b
+        for col, t in enumerate(_t_schedule(o_ref.shape[1], skip_t0)):
+            if t == 1:
+                eq_c, x0_c, x1_c = eq_t, x0_t, x1_t
+            elif t > 1:
+                eq_c = fc.add(eq_c, d_eq)
+                x0_c = fc.add(x0_c, d_x0)
+                x1_c = fc.add(x1_c, d_x1)
+            g = fc.pow7(fc.add(fc.add(x1_c, ark), x0_c))
+            prod = fc.mul(eq_c, g)  # (L, G, b)
+            cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
+            limbs, over = fc.carry_rows(cols, 26, with_over=True)  # (L,G),(1,G)
+            o_ref[0:L, pl.ds(col, 1), :] += limbs[:, None, :]
+            o_ref[L : L + 1, pl.ds(col, 1), :] += over[:, None, :]
+
+    return kern
 
 
-def _identity_pe_kernel_g(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
-    i = pl.program_id(0)
+def _identity_pe_kernel_g(skip_t0: bool):
+    def kern(eqb_ref, eqt_ref, x0b_ref, x0t_ref, o_ref):
+        i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
 
-    eq_b, eq_t = eqb_ref[:], eqt_ref[:]
-    x0_b, x0_t = x0b_ref[:], x0t_ref[:]
-    d_eq = fc.sub(eq_t, eq_b)
-    d_x0 = fc.sub(x0_t, x0_b)
+        eq_b, eq_t = eqb_ref[:], eqt_ref[:]
+        x0_b, x0_t = x0b_ref[:], x0t_ref[:]
+        d_eq = fc.sub(eq_t, eq_b)
+        d_x0 = fc.sub(x0_t, x0_b)
 
-    n_evals = o_ref.shape[1]
-    eq_c, x0_c = eq_b, x0_b
-    for t in range(n_evals):
-        if t == 1:
-            eq_c, x0_c = eq_t, x0_t
-        elif t > 1:
-            eq_c = fc.add(eq_c, d_eq)
-            x0_c = fc.add(x0_c, d_x0)
-        prod = fc.mul(eq_c, x0_c)
-        cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
-        limbs, over = fc.carry_rows(cols, 26, with_over=True)
-        o_ref[0:L, pl.ds(t, 1), :] += limbs[:, None, :]
-        o_ref[L : L + 1, pl.ds(t, 1), :] += over[:, None, :]
+        eq_c, x0_c = eq_b, x0_b
+        for col, t in enumerate(_t_schedule(o_ref.shape[1], skip_t0)):
+            if t == 1:
+                eq_c, x0_c = eq_t, x0_t
+            elif t > 1:
+                eq_c = fc.add(eq_c, d_eq)
+                x0_c = fc.add(x0_c, d_x0)
+            prod = fc.mul(eq_c, x0_c)
+            cols = jnp.sum(prod.astype(jnp.int32), axis=2).astype(jnp.uint32)
+            limbs, over = fc.carry_rows(cols, 26, with_over=True)
+            o_ref[0:L, pl.ds(col, 1), :] += limbs[:, None, :]
+            o_ref[L : L + 1, pl.ds(col, 1), :] += over[:, None, :]
+
+    return kern
 
 
 def _pe_call_g(kernel, tables, extra_args, extra_specs, n_evals):
@@ -488,20 +850,22 @@ def _pe_call_g(kernel, tables, extra_args, extra_specs, n_evals):
     return _finish_evals(acc)  # (16, n_evals, G)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def cipher_partial_evals_g(eq, x0, x1, ark, n_evals: int):
+@partial(jax.jit, static_argnums=(4, 5))
+def cipher_partial_evals_g(eq, x0, x1, ark, n_evals: int, skip_t0: bool = False):
     """Grouped round partial evals: eq/x0/x1 (16, G, n), ark (16, G) ->
-    (16, n_evals, G)."""
+    (16, n_evals[-1], G)."""
     g = eq.shape[1]
     spec = [pl.BlockSpec((L, g), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+    n_out = n_evals - 1 if skip_t0 else n_evals
     return _pe_call_g(
-        _cipher_pe_kernel_g, [eq, x0, x1], [ark], spec, n_evals
+        _cipher_pe_kernel_g(skip_t0), [eq, x0, x1], [ark], spec, n_out
     )
 
 
-@partial(jax.jit, static_argnums=(2,))
-def identity_partial_evals_g(eq, x0, n_evals: int):
-    return _pe_call_g(_identity_pe_kernel_g, [eq, x0], [], [], n_evals)
+@partial(jax.jit, static_argnums=(2, 3))
+def identity_partial_evals_g(eq, x0, n_evals: int, skip_t0: bool = False):
+    n_out = n_evals - 1 if skip_t0 else n_evals
+    return _pe_call_g(_identity_pe_kernel_g(skip_t0), [eq, x0], [], [], n_out)
 
 
 def _fold_kernel_g(nt):
@@ -552,10 +916,10 @@ def fold_tables_g(tables, r, nt: int):
     return list(outs)
 
 
-def _fs_hash_kernel_g(n_words: int, unroll: int):
+def _fs_hash_kernel_g(n_words: int, unroll: int, use_mxu: bool):
     n_steps = MIMC_FS_ROUNDS // unroll
 
-    def kern(arks_ref, msgs_ref, o_ref, st_ref, res_ref):
+    def kern(m1_ref, m2_ref, arks_ref, msgs_ref, o_ref, st_ref, res_ref):
         k = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -569,6 +933,7 @@ def _fs_hash_kernel_g(n_words: int, unroll: int):
         def _():
             res_ref[:] = block
 
+        m1, m2 = m1_ref[:], m2_ref[:]
         arks = arks_ref[:].astype(jnp.int32)
         lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
         res = res_ref[:]
@@ -579,7 +944,8 @@ def _fs_hash_kernel_g(n_words: int, unroll: int):
                 axis=1,
                 keepdims=True,
             ).astype(jnp.uint32)
-            res = fc.pow7(fc.add(fc.add(res, st), ark))
+            t = fc.add(fc.add(res, st), ark)
+            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7(t)
         res_ref[:] = res
 
         @pl.when(i == n_steps - 1)
@@ -610,10 +976,12 @@ def mimc_hash_fs_g(msgs):
     )
     msgs_km = jnp.moveaxis(msgs, 1, 0)  # (K, L, G)
     return pl.pallas_call(
-        _fs_hash_kernel_g(k, unroll),
+        _fs_hash_kernel_g(k, unroll, _fs_mxu()),
         out_shape=jax.ShapeDtypeStruct((L, g), jnp.uint32),
         grid=(k, MIMC_FS_ROUNDS // unroll),
         in_specs=[
+            pl.BlockSpec((32, 32), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 32), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 128), lambda kk, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, g), lambda kk, i: (kk, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -622,7 +990,7 @@ def mimc_hash_fs_g(msgs):
             pltpu.VMEM((L, g), jnp.uint32),
             pltpu.VMEM((L, g), jnp.uint32),
         ],
-    )(arks_pad, msgs_km)
+    )(jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), arks_pad, msgs_km)
 
 
 # ---------------------------------------------------------------------------

@@ -67,14 +67,15 @@ def _split_halves(table, active_mid=None):
     return bottom, top
 
 
-def _stack_t_axis(bottom, top, n_evals):
-    """halves (16, m) -> (16, n_evals, m): evaluations of the one-variable
-    restriction at t = 0, 1, ..., n_evals-1 via incremental adds
-    (multilinearity: P(t+1, x) = P(t, x) + (P(1,x) - P(0,x)) — the same
+def _stack_t_axis(bottom, top, n_evals, skip_t0=False):
+    """halves (16, m) -> (16, n_evals[-1], m): evaluations of the
+    one-variable restriction at t = 0, 1, ..., n_evals-1 via incremental
+    adds (multilinearity: P(t+1, x) = P(t, x) + (P(1,x) - P(0,x)) — the same
     Delta-increment the reference uses, sumcheck/algo.go:151-201, but as a
-    batched t-axis instead of an inner loop)."""
+    batched t-axis instead of an inner loop). With skip_t0 the t=0 row is
+    omitted (the claim trick: the caller derives P(0) = claim - P(1))."""
     d = fr.sub(top, bottom)
-    rows = [bottom, top]
+    rows = [top] if skip_t0 else [bottom, top]
     cur = top
     for _ in range(n_evals - 2):
         cur = fr.add(cur, d)
@@ -82,15 +83,17 @@ def _stack_t_axis(bottom, top, n_evals):
     return jnp.stack(rows, axis=1)
 
 
-def _partial_evals(gate: Gate, gate_params, eq, xs, active_mid=None):
-    """One round's evaluations: (16, deg+2) sums over the half hypercube."""
+def _partial_evals(gate: Gate, gate_params, eq, xs, active_mid=None,
+                   skip_t0=False):
+    """One round's evaluations: (16, deg+2[-1]) sums over the half
+    hypercube (t = 0..deg+1, or t = 1..deg+1 with skip_t0)."""
     n_evals = gate.degree + 2
     eq_b, eq_h = _split_halves(eq, active_mid)
-    eq_t = _stack_t_axis(eq_b, eq_h, n_evals)
+    eq_t = _stack_t_axis(eq_b, eq_h, n_evals, skip_t0)
     xs_t = []
     for x in xs:
         b, h = _split_halves(x, active_mid)
-        xs_t.append(_stack_t_axis(b, h, n_evals))
+        xs_t.append(_stack_t_axis(b, h, n_evals, skip_t0))
     g = gate.eval_batch(gate_params, xs_t)
     prod = fr.mul(eq_t, g)
     if active_mid is not None:
@@ -210,38 +213,87 @@ def _pallas_gate_kind(gate: Gate, xs) -> str | None:
     return None
 
 
-def _round_step(gate, gate_params, eq, xs, active_mid):
+def _with_t0(evals, claim, skip_t0):
+    """Prepend the t=0 evaluation. With the claim trick the kernel only
+    computed t = 1..deg+1 and P(0) = claim - P(1) — the exact same field
+    value the direct evaluation would produce (P(0)+P(1) is the round's
+    claimed sum, sumcheck/verifier.go:37-44), so transcripts are
+    bit-identical while the hot kernel does one fewer gate evaluation."""
+    if not skip_t0:
+        return evals
+    e0 = fr.sub(claim, evals[:, 0])
+    return jnp.concatenate([e0[:, None], evals], axis=1)
+
+
+def _coeff_pe_enabled() -> bool:
+    import os
+
+    return os.environ.get("GKR_COEFF_PE", "1") == "1"
+
+
+def _round_step_coeff(kind, gate, gate_params, eq, xs, grouped):
+    """Coefficient-form round (ops/kernels.py cipher_coeff_acc): the MXU
+    computes the eq-weighted hypercube sums; the proof coefficients come
+    out directly (no interpolation), bit-identical to the evaluate-then-
+    interpolate path."""
+    g = eq.shape[1] if grouped else 1
+    eqf = eq.reshape(fr.L, -1)
+    xsf = [x.reshape(fr.L, -1) for x in xs]
+    if kind == "cipher":
+        ark = jnp.broadcast_to(gate_params[0].reshape(fr.L, 1), (fr.L, g))
+        acc = K.cipher_coeff_acc(eqf, xsf[0], xsf[1], ark, g)
+        coeffs3 = K.finish_coeff_acc(acc, 8, 7)  # (16, 9, G)
+    else:
+        acc = K.identity_coeff_acc(eqf, xsf[0], g)
+        coeffs3 = K.finish_coeff_acc(acc, 2, 1)
+    coeffs = coeffs3 if grouped else coeffs3[..., 0]
+    r = mimc_hash_device(coeffs)
+    folded = K.fold_tables_gm([eqf] + xsf, r, 1 + len(xs), g)
+    if grouped:
+        folded = [f.reshape(fr.L, g, -1) for f in folded]
+    return folded[0], folded[1:], coeffs, r, None
+
+
+def _round_step(gate, gate_params, eq, xs, active_mid, claim=None):
     """One sumcheck round (partial evals -> coeffs -> challenge -> fold).
-    eq/xs: (16, n) single or (16, G, n) grouped."""
+    eq/xs: (16, n) single or (16, G, n) grouped. With a tracked `claim`
+    (the running P_k(r_k) chain) the t=0 point is derived, not computed.
+    Returns (eq, xs, coeffs, r, next_claim)."""
     grouped = eq.ndim == 3
+    skip = claim is not None
     kind = _pallas_gate_kind(gate, xs) if active_mid is None else None
+    if kind is not None and eq.shape[-1] >= PALLAS_MIN and _coeff_pe_enabled():
+        return _round_step_coeff(kind, gate, gate_params, eq, xs, grouped)
     if kind is not None and eq.shape[-1] >= PALLAS_MIN:
         n_evals = gate.degree + 2
         if grouped:
             g = eq.shape[1]
             if kind == "cipher":
                 ark = jnp.broadcast_to(gate_params[0].reshape(fr.L, 1), (fr.L, g))
-                evals = K.cipher_partial_evals_g(eq, xs[0], xs[1], ark, n_evals)
+                evals = K.cipher_partial_evals_g(eq, xs[0], xs[1], ark,
+                                                 n_evals, skip)
             else:
-                evals = K.identity_partial_evals_g(eq, xs[0], n_evals)
-            coeffs = lagrange.interpolate_on_range_device(evals)
-            r = mimc_hash_device(coeffs)
-            folded = K.fold_tables_g([eq] + list(xs), r, 1 + len(xs))
-            return folded[0], folded[1:], coeffs, r
-        if kind == "cipher":
-            evals = K.cipher_partial_evals(eq, xs[0], xs[1], gate_params[0], n_evals)
+                evals = K.identity_partial_evals_g(eq, xs[0], n_evals, skip)
+        elif kind == "cipher":
+            evals = K.cipher_partial_evals(eq, xs[0], xs[1], gate_params[0],
+                                           n_evals, skip)
         else:
-            evals = K.identity_partial_evals(eq, xs[0], n_evals)
+            evals = K.identity_partial_evals(eq, xs[0], n_evals, skip)
+        evals = _with_t0(evals, claim, skip)
         coeffs = lagrange.interpolate_on_range_device(evals)
         r = mimc_hash_device(coeffs)
-        folded = K.fold_tables([eq] + list(xs), r, 1 + len(xs))
-        return folded[0], folded[1:], coeffs, r
-    evals = _partial_evals(gate, gate_params, eq, xs, active_mid)
+        next_claim = lagrange.eval_univariate_device(coeffs, r)
+        fold_f = K.fold_tables_g if grouped else K.fold_tables
+        folded = fold_f([eq] + list(xs), r, 1 + len(xs))
+        return folded[0], folded[1:], coeffs, r, next_claim
+    evals = _partial_evals(gate, gate_params, eq, xs, active_mid, skip)
+    evals = _with_t0(evals, claim, skip)
     coeffs = lagrange.interpolate_on_range_device(evals)
     r = mimc_hash_device(coeffs)
+    next_claim = lagrange.eval_univariate_device(coeffs, r)
     eq = _fold(eq, r, active_mid)
     xs = [_fold(x, r, active_mid) for x in xs]
-    return eq, xs, coeffs, r
+    return eq, xs, coeffs, r, next_claim
 
 
 # --------------------------------------------------------------------------
@@ -268,23 +320,57 @@ def _can_donate() -> bool:
         return False
 
 
-def _round_jit(gate: Gate, donate: bool = False):
-    """One head round as its own program. NB: head rounds never donate —
-    every output is HALF the input size, so XLA can never alias a donated
-    buffer (the round-1 'donated buffers were not usable' warnings), and
-    the inputs are freed by refcount right after dispatch anyway. The
-    `donate` arg is retained for call-site compatibility and ignored."""
+def _round_jit(gate: Gate, has_claim: bool, donate: bool = False):
+    """One head round as its own program (two flavors: with the tracked
+    claim — one fewer gate eval — or without, for the output layer's first
+    round). NB: head rounds never donate — every output is HALF the input
+    size, so XLA can never alias a donated buffer (the round-1 'donated
+    buffers were not usable' warnings), and the inputs are freed by
+    refcount right after dispatch anyway."""
     del donate
-    key = gate
+    key = (gate, has_claim)
     f = _ROUND_JIT_CACHE.get(key)
     if f is None:
-        def run(gate_params, eq, xs):
-            eq2, xs2, coeffs, r = _round_step(gate, gate_params, eq, list(xs), None)
-            return eq2, tuple(xs2), coeffs, r
+        if has_claim:
+            def run(gate_params, eq, xs, claim):
+                eq2, xs2, coeffs, r, nc = _round_step(
+                    gate, gate_params, eq, list(xs), None, claim
+                )
+                return eq2, tuple(xs2), coeffs, r, nc
+        else:
+            def run(gate_params, eq, xs):
+                eq2, xs2, coeffs, r, nc = _round_step(
+                    gate, gate_params, eq, list(xs), None
+                )
+                return eq2, tuple(xs2), coeffs, r, nc
 
         f = jax.jit(run)
         _ROUND_JIT_CACHE[key] = f
     return f
+
+
+def _combined_claim(claims):
+    """The RLC-combined claimed sum (sumcheck/prover.go:102-144 multiplier
+    chain applied to the claims instead of the eq tables): claim_0 +
+    sum_{j>=1} rlc^j * claim_j with rlc = MimcHash(claims). None when the
+    layer has no claims (the output layer: the first round computes the
+    full t range instead)."""
+    n_claims = claims.shape[1]
+    if n_claims == 0:
+        return None
+    first = claims[:, 0]
+    if n_claims == 1:
+        return first
+    rlc = mimc_hash_device(claims)
+
+    def body(carry, cj):
+        acc, mult = carry
+        acc = fr.add(acc, fr.mul(mult, cj))
+        return (acc, fr.mul(mult, rlc)), None
+
+    rest = jnp.moveaxis(claims[:, 1:], 1, 0)  # (J-1, 16[, G])
+    (acc, _), _ = jax.lax.scan(body, (first, rlc), rest)
+    return acc
 
 
 def _tail_body(gate: Gate, gate_params, eq, xs):
@@ -295,7 +381,7 @@ def _tail_body(gate: Gate, gate_params, eq, xs):
 
     def body(carry, _):
         eq_c, xs_c, active_mid = carry
-        eq_c, xs_c, coeffs, r = _round_step(
+        eq_c, xs_c, coeffs, r, _ = _round_step(
             gate, gate_params, eq_c, list(xs_c), active_mid
         )
         return (eq_c, tuple(xs_c), active_mid // 2), (coeffs, r)
@@ -324,6 +410,7 @@ def _final_claims(eq, xs):
 
 
 _make_eq_jit = jax.jit(_make_eq)
+_combined_claim_jit = jax.jit(_combined_claim)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -357,6 +444,16 @@ def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
     bn = qprimes.shape[1]
     n_evals = gate.degree + 2
     eq = _make_eq_jit(qprimes, claims)
+    # the coefficient-form kernels don't evaluate at t points, so the
+    # claim trick (deriving P(0)) only applies to the other paths
+    use_coeff = (
+        _pallas_gate_kind(gate, list(xs)) is not None and _coeff_pe_enabled()
+    )
+    claim = (
+        _combined_claim_jit(claims)
+        if (claims.shape[1] > 0 and not use_coeff)
+        else None
+    )
 
     head_coeffs = []
     head_rs = []
@@ -364,8 +461,11 @@ def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
     xs = tuple(xs)
     first = True
     while n > (1 << _tail_bits()):
-        f = _round_jit(gate, donate=not first)
-        eq, xs, coeffs, r = f(gate_params, eq, xs)
+        f = _round_jit(gate, claim is not None, donate=not first)
+        if claim is not None:
+            eq, xs, coeffs, r, claim = f(gate_params, eq, xs, claim)
+        else:
+            eq, xs, coeffs, r, claim = f(gate_params, eq, xs)
         head_coeffs.append(coeffs)
         head_rs.append(r)
         n //= 2
@@ -395,7 +495,7 @@ def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
     challenges = []
     n = 1 << bn
     while n > (1 << _tail_bits()):
-        eq, xs, coeffs, r = _round_step(gate, gate_params, eq, xs, None)
+        eq, xs, coeffs, r, _ = _round_step(gate, gate_params, eq, xs, None)
         coeffs_rounds.append(coeffs)
         challenges.append(r)
         n //= 2
@@ -404,7 +504,7 @@ def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
     if tail_rounds > 0:
         def body(carry, _):
             eq_c, xs_c, active_mid = carry
-            eq_c, xs_c, coeffs, r = _round_step(
+            eq_c, xs_c, coeffs, r, _ = _round_step(
                 gate, gate_params, eq_c, list(xs_c), active_mid
             )
             return (eq_c, tuple(xs_c), active_mid // 2), (coeffs, r)

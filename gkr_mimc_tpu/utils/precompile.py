@@ -85,21 +85,41 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True,
         p_sds = _gate_param_sds(gate)
         n_evals = gate.degree + 2
 
-        # combined eq table
+        # combined eq table + combined claim
         lower(
             f"make_eq[J={j_q},{j_c}]",
             sp._make_eq_jit,
             _sds((j_q, bn) + gdims + (fr.L,)),
             _sds((fr.L, j_c) + gdims),
         )
+        if j_c > 0:
+            lower(
+                f"combined_claim[J={j_c}]",
+                sp._combined_claim_jit,
+                _sds((fr.L, j_c) + gdims),
+            )
 
-        # unrolled head rounds (one program per size)
+        # unrolled head rounds (one program per size; the output layer's
+        # first round is the claim-less flavor, everything else tracks the
+        # running claim — sumcheck/prover.py claim trick; the coefficient
+        # path ignores claims entirely)
+        use_coeff = (
+            sp._pallas_gate_kind(gate, [None] * n_tab) is not None
+            and sp._coeff_pe_enabled()
+        )
         size = n
         first = True
         while size > (1 << tb):
-            f = sp._round_jit(gate, donate=not first)
+            has_claim = (not use_coeff) and ((j_c > 0) or not first)
+            f = sp._round_jit(gate, has_claim, donate=not first)
             xs = tuple(tbl(size) for _ in range(n_tab))
-            lower(f"round[{gate.name},{size}]", f, p_sds, tbl(size), xs)
+            if has_claim:
+                lower(
+                    f"round[{gate.name},{size},c]", f, p_sds, tbl(size), xs,
+                    _sds((fr.L,) + gdims),
+                )
+            else:
+                lower(f"round[{gate.name},{size}]", f, p_sds, tbl(size), xs)
             size //= 2
             first = False
 
