@@ -23,10 +23,16 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gkr_mimc_tpu_jax_cache")
 
 import jax
+
+# the axon sitecustomize clobbers JAX_PLATFORMS env — honor an explicit
+# CPU request via config (must happen before backend init)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -38,7 +44,11 @@ from gkr_mimc_tpu.gkr import prover as gkr_prover
 from gkr_mimc_tpu.gkr import verifier as gkr_verifier
 from gkr_mimc_tpu.models.mimc import assign_fused, mimc_circuit
 from gkr_mimc_tpu.utils import precompile
-from gkr_mimc_tpu.utils.common import random_fr_array, random_fr_array_np
+from gkr_mimc_tpu.utils.common import (
+    random_fr_array,
+    random_fr_array_np,
+    random_fr_device,
+)
 from gkr_mimc_tpu.utils.convert import ints_to_rows
 
 EPYC_BASELINE_HASHES_PER_SEC = float(
@@ -48,6 +58,65 @@ EPYC_BASELINE_HASHES_PER_SEC = float(
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def force(proof):
+    """Force completion of the async dispatch chain with a real
+    device->host copy: block_until_ready is unreliable through the axon
+    tunnel (the round-1 measurement artifact, STATUS_r02)."""
+    import numpy as _np
+
+    _np.asarray(jax.device_get(proof.sumcheck_proofs[2].coeffs))
+
+
+# deterministic inputs, bit-exact with common/common.go:49-55, generated
+# ON DEVICE (one iota + 16-bit-limb square + xor; zero host transfer)
+@partial(jax.jit, static_argnums=(0,))
+def _gen_input(n: int, offset):
+    return fr.to_mont(random_fr_device(n, jnp.uint32(offset)))
+
+
+def report_layer_roofline(bn: int):
+    """Per-layer ms vs roofline: time ONE cipher-layer sumcheck through the
+    production path (the unit the 92-layer walk repeats). Roofline model:
+    HBM traffic / 820 GB/s (v5e) — the coefficient-form round kernel reads
+    eq+x0+x1 once and writes the three folded halves, so a full layer
+    (sum over halving rounds) moves ~2x the round-1 bytes; the FS-hash
+    chain (~bn x 2.6ms) is a latency floor on top, amortized by grouping."""
+    import numpy as _np
+
+    from gkr_mimc_tpu.circuits.gates import CipherGate
+    from gkr_mimc_tpu.sumcheck import prover as sp
+
+    n = 1 << bn
+    rng = _np.random.default_rng(7)
+    tab = lambda: jnp.asarray(
+        rng.integers(0, 1 << 16, size=(16, n), dtype=_np.uint32)
+    )
+    x0, x1 = tab(), tab()
+    gate = CipherGate(145646)
+    qprimes = jnp.asarray(rng.integers(0, 1 << 16, size=(1, bn, 16), dtype=_np.uint32))
+    claims = jnp.asarray(rng.integers(0, 1 << 16, size=(16, 1), dtype=_np.uint32))
+
+    def layer():
+        p, c, f = sp._prove_rounds(gate, gate.params(), [x0, x1], qprimes, claims)
+        return p
+
+    _np.asarray(jax.device_get(layer()))  # warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = layer()
+    _np.asarray(jax.device_get(out))
+    per_layer_ms = (time.time() - t0) / reps * 1e3
+    bytes_moved = 2 * (3 + 3 / 2) * n * 64  # round-1 reads+writes, x2 for tail
+    hbm_ms = bytes_moved / 820e9 * 1e3
+    fs_ms = bn * 2.6
+    log(
+        f"# per-layer (cipher sumcheck, bn={bn}): {per_layer_ms:.1f} ms | "
+        f"rooflines: HBM {hbm_ms:.1f} ms + FS-chain floor {fs_ms:.1f} ms "
+        f"(compute-bound gap: {per_layer_ms / (hbm_ms + fs_ms):.1f}x)"
+    )
 
 
 def bench_sharded(bn: int):
@@ -70,11 +139,11 @@ def bench_sharded(bn: int):
 
     t0 = time.time()
     proof = pmesh.prove_gkr_sharded(c, a, qprime, m)
-    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    force(proof)
     log(f"# sharded warmup (compile+run): {time.time()-t0:.1f}s")
     t0 = time.time()
     proof = pmesh.prove_gkr_sharded(c, a, qprime, m)
-    proof.sumcheck_proofs[2].coeffs.block_until_ready()
+    force(proof)
     dt = time.time() - t0
     hps = n / dt
     log(f"# sharded prove bn={bn} D={d}: {dt:.2f}s -> {hps:,.0f} hashes/s")
@@ -102,14 +171,10 @@ def bench_grouped(bn: int, group: int, verify: bool):
     log(f"# precompile(grouped): {n_ok} programs ({len(fails)} failed) in "
         f"{time.time()-t0:.1f}s")
 
-    to_mont = jax.jit(fr.to_mont)
-    key_np = random_fr_array_np(group * n).reshape(group, n)
-    state_np = (random_fr_array_np(group * n + 1)[1:]).reshape(group, n)
-    block = to_mont(jnp.asarray(fr.encode_uint64_array(key_np)))
-    state = to_mont(jnp.asarray(fr.encode_uint64_array(state_np)))
-    block.block_until_ready()
+    block = _gen_input(group * n, 0).reshape(fr.L, group, n)
+    state = _gen_input(group * n, 1).reshape(fr.L, group, n)
     import numpy as _np
-    _np.asarray(jax.device_get(block[:, :1, :1]))
+    _np.asarray(jax.device_get(block[:, :1, :1]))  # warm the transfer path
 
     qprime = jnp.stack(
         [
@@ -122,15 +187,16 @@ def bench_grouped(bn: int, group: int, verify: bool):
     def run():
         a = assign_fused(block, state)
         proof = gkr_prover.prove(c, a, qprime)
-        proof.sumcheck_proofs[2].coeffs.block_until_ready()
         return a[93], proof
 
     t0 = time.time()
     out_table, proof = run()
+    force(proof)
     log(f"# grouped warmup (compile+run): {time.time()-t0:.1f}s")
     out_table = proof = None
     t0 = time.time()
     out_table, proof = run()
+    force(proof)
     dt = time.time() - t0
     total = group * n
     hps = total / dt
@@ -165,32 +231,33 @@ def bench_chunked(bn: int, total_log2: int, verify: bool):
     n_ok, fails = precompile.warm(c, bn, include_verify=verify)
     log(f"# precompile: {n_ok} programs ({len(fails)} failed) in "
         f"{time.time()-t0:.1f}s")
-    to_mont = jax.jit(fr.to_mont)
     qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
 
-    # warmup on chunk 0 (compiles; excluded from the timed pass)
+    # inputs generated on device (no upload); prove dispatch is async, so
+    # chunk k+1's device work overlaps chunk k's host-side verification
     def run_chunk(ci):
-        block = to_mont(jnp.asarray(
-            fr.encode_uint64_array(random_fr_array_np(n, offset=ci * n))))
-        state = to_mont(jnp.asarray(fr.encode_uint64_array(
-            random_fr_array_np(n, offset=(chunks + ci) * n))))
+        block = _gen_input(n, ci * n)
+        state = _gen_input(n, (chunks + ci) * n)
         a = assign_fused(block, state)
         proof = gkr_prover.prove(c, a, qprime)
-        proof.sumcheck_proofs[2].coeffs.block_until_ready()
         return block, state, a[93], proof
 
     t0 = time.time()
-    run_chunk(0)
+    force(run_chunk(0)[3])
     log(f"# warmup (residual compile+run): {time.time()-t0:.1f}s")
 
     t0 = time.time()
     n_verified = 0
-    for ci in range(chunks):
-        block, state, out_table, proof = run_chunk(ci)
+    prev = run_chunk(0)
+    for ci in range(1, chunks + 1):
+        nxt = run_chunk(ci) if ci < chunks else None  # dispatch next first
+        block, state, out_table, proof = prev
         if verify:
             gkr_verifier.verify(c, proof, [block, state], out_table, qprime)
             n_verified += 1
-        block = state = out_table = proof = None  # free HBM
+        else:
+            force(proof)
+        prev = nxt
     dt = time.time() - t0
     total = chunks * n
     hps = total / dt
@@ -231,13 +298,10 @@ def main():
     log(f"# precompile: {n_ok} programs ({len(fails)} failed) in "
         f"{time.time()-t0:.1f}s")
 
-    # deterministic inputs, bit-exact with common/common.go:49-55
-    key_np = random_fr_array_np(n)
-    state_np = random_fr_array_np(n)
-    to_mont = jax.jit(fr.to_mont)
-    block = to_mont(jnp.asarray(fr.encode_uint64_array(key_np)))
-    state = to_mont(jnp.asarray(fr.encode_uint64_array(state_np)))
-    block.block_until_ready()
+    # deterministic inputs, bit-exact with common/common.go:49-55,
+    # generated on device (both streams start at offset 0, as round 2 did)
+    block = _gen_input(n, 0)
+    state = jnp.array(block)  # same generator stream, independent buffer
     # warm the device->host transfer path (the first fetch on a tunneled
     # backend pays a large one-time setup cost)
     import numpy as _np
@@ -251,21 +315,24 @@ def main():
         # two live assignments exceed HBM
         a = assign_fused(block, state)
         proof = gkr_prover.prove(c, a, qprime)
-        proof.sumcheck_proofs[2].coeffs.block_until_ready()
         return a[93], proof
 
     # warmup (remaining compiles, all cached persistently)
     t0 = time.time()
     out_table, proof = run()
+    force(proof)
     warm = time.time() - t0
     log(f"# warmup (residual compile+run): {warm:.1f}s")
 
     out_table = proof = None  # free HBM before the timed run
     t0 = time.time()
     out_table, proof = run()
+    force(proof)
     dt = time.time() - t0
     hashes_per_sec = n / dt
     log(f"# prove bn={bn}: {dt*1e3:.1f} ms -> {hashes_per_sec:,.0f} hashes/s")
+    if on_tpu:
+        report_layer_roofline(bn)
 
     if verify:
         t0 = time.time()

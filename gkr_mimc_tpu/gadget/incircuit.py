@@ -122,6 +122,30 @@ class InCircuitGkrGadget:
         self.io.push(cs, [state, msg], perm_var)
         return cs.add(perm_var, state, state, msg)
 
+    def update_hasher_batch(self, cs: RecordingCS, states, msgs):
+        """N independent updates with the hash hint fired ONCE for the
+        whole batch (one fused device scan instead of N pure-Python 91-round
+        permutations) — constraint structure identical to N update_hasher
+        calls, so proofs and keys are unchanged. This is what lets the
+        pipeline scale to the reference's bench sizes
+        (performances_test.go:17-27)."""
+        from ..fields import fr as _fr
+        from .gadget import _perm_batch_jit
+
+        if len(states) != len(msgs):
+            raise ValueError("states and msgs must have equal length")
+        svars = [_enforce_wire(cs, cs._lift(s)) for s in states]
+        mvars = [_enforce_wire(cs, cs._lift(m)) for m in msgs]
+        st = jnp.asarray(ints_to_rows([v.value for v in svars]).T)
+        mg = jnp.asarray(ints_to_rows([v.value for v in mvars]).T)
+        perm_ints = _fr.to_ints(_perm_batch_jit(mg, st))
+        outs = []
+        for sv, mv, p in zip(svars, mvars, perm_ints):
+            perm_var = cs.witness(p)
+            self.io.push(cs, [sv, mv], perm_var)
+            outs.append(cs.add(perm_var, sv, sv, mv))
+        return outs
+
     def _pad(self, cs: RecordingCS) -> int:
         if self.io.index == 0:
             raise ValueError("close() on an empty gadget")

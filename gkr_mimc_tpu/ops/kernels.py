@@ -103,24 +103,33 @@ def cipher_layer(l, r, ark):
     )(ark.reshape(L, 1), l, r)
 
 
-def _witness_kernel(arks_ref, block_ref, state_ref, o_ref, st_scratch):
-    j = pl.program_id(1)
+def _witness_kernel(use_mxu: bool):
+    def kern(m1_ref, m2_ref, arks_ref, block_ref, state_ref, o_ref, st_scratch):
+        j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        st_scratch[:] = state_ref[:]
+        @pl.when(j == 0)
+        def _():
+            st_scratch[:] = state_ref[:]
 
-    # select round-constant column j from the (16, 128)-padded table
-    # (dynamic lane slicing needs 128-alignment; a masked reduce is free)
-    arks = arks_ref[:].astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
-    ark = jnp.sum(jnp.where(lane == j, arks, 0), axis=1, keepdims=True).astype(
-        jnp.uint32
-    )
+        # select round-constant column j from the (16, 128)-padded table
+        # (dynamic lane slicing needs 128-alignment; a masked reduce is free)
+        arks = arks_ref[:].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
+        ark = jnp.sum(jnp.where(lane == j, arks, 0), axis=1, keepdims=True).astype(
+            jnp.uint32
+        )
 
-    nxt = fc.pow7(fc.add(fc.add(st_scratch[:], ark), block_ref[:]))
-    o_ref[:] = nxt[None]
-    st_scratch[:] = nxt
+        t = fc.add(fc.add(st_scratch[:], ark), block_ref[:])
+        nxt = fc.pow7_mxu(t, m1_ref[:], m2_ref[:]) if use_mxu else fc.pow7(t)
+        o_ref[:] = nxt[None]
+        st_scratch[:] = nxt
+
+    return kern
+
+
+def _witness_mxu() -> bool:
+    # MXU-REDC pow7 in the witness kernel (A/B: GKR_WITNESS_MXU, trace-time)
+    return os.environ.get("GKR_WITNESS_MXU", "1") == "1"
 
 
 @jax.jit
@@ -131,14 +140,19 @@ def mimc_witness(block, state, arks_cols):
     (sequential on TPU) with the running state held in VMEM scratch; the
     reference instead evaluates 91 separate layers with a goroutine pool."""
     n = block.shape[-1]
-    b = min(_block_for(n), 256)
+    b = min(
+        _block_for(n), int(os.environ.get("GKR_WITNESS_BLOCK", "512"))
+    )
+    use_mxu = _witness_mxu() and b >= 128
     n_rounds = arks_cols.shape[1]
     arks_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :n_rounds].set(arks_cols)
     return pl.pallas_call(
-        _witness_kernel,
+        _witness_kernel(use_mxu),
         out_shape=jax.ShapeDtypeStruct((n_rounds, L, n), block.dtype),
         grid=(n // b, n_rounds),
         in_specs=[
+            pl.BlockSpec((32, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 32), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((L, b), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -147,7 +161,7 @@ def mimc_witness(block, state, arks_cols):
             (1, L, b), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((L, b), jnp.uint32)],
-    )(arks_pad, block, state)
+    )(jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), arks_pad, block, state)
 
 
 # ---------------------------------------------------------------------------

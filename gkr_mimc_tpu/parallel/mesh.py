@@ -34,8 +34,16 @@ from ..circuits.gates import Gate
 from ..fields import fr
 from ..gkr.prover import GKRProof, _claims_pack, _empty_claims, _row, _stack0
 from ..hashes.mimc import mimc_hash_device
+from ..ops import kernels as K
 from ..poly import lagrange, multilin
-from ..sumcheck.prover import SumcheckProof, _partial_evals, _fold, _canon_rows
+from ..sumcheck.prover import (
+    PALLAS_MIN,
+    SumcheckProof,
+    _canon_rows,
+    _fold,
+    _pallas_gate_kind,
+    _partial_evals,
+)
 
 AXIS = "hc"
 
@@ -80,6 +88,8 @@ def _renorm_psum(cols, axis_name):
 def _make_eq_local(qprimes, claims, d, local_bn):
     """Shard-local combined eq table (16, 2**local_bn)."""
     n_claims = qprimes.shape[0]
+    if local_bn >= 13 and K.pallas_enabled():
+        return _make_eq_local_fast(qprimes, claims, d, local_bn)
     pref = multilin.eq_prefix(qprimes[0, local_bn:], d)
     eq = multilin.eq_table(qprimes[0, :local_bn], multiplier=pref)
     if n_claims <= 1:
@@ -94,6 +104,40 @@ def _make_eq_local(qprimes, claims, d, local_bn):
 
     (eq, _), _ = jax.lax.scan(body, (eq, rlc), qprimes[1:])
     return eq
+
+
+def _make_eq_local_fast(qprimes, claims, d, local_bn):
+    """Shard-local single-pass multi-claim eq build: the per-claim shard
+    prefix eq(q_j[local_bn:], d-bits) folds into the RLC multiplier, then
+    the hi/lo streaming contraction of sumcheck.prover._make_eq_multiclaim_fast
+    runs on the local bits only."""
+    j = qprimes.shape[0]
+    one = fr.one(())
+    if j == 1:
+        ms = one[:, None]
+    else:
+        rlc = mimc_hash_device(claims)
+
+        def body(m, _):
+            nm = fr.mul(m, rlc)
+            return nm, nm
+
+        _, ms_rest = jax.lax.scan(body, one, None, length=j - 1)
+        ms = jnp.moveaxis(jnp.concatenate([one[None], ms_rest], axis=0), -1, 0)
+    prefs = jnp.stack(
+        [multilin.eq_prefix(qprimes[jj, local_bn:], d) for jj in range(j)],
+        axis=1,
+    )  # (16, J)
+    ms = fr.mul(ms, prefs)
+
+    k = min(local_bn, 10)
+    hi_bits = local_bn - k
+    hi = multilin.eq_table_grouped(
+        jnp.moveaxis(qprimes[:, :hi_bits], 0, 1), multiplier=ms
+    )
+    lo = multilin.eq_table_grouped(jnp.moveaxis(qprimes[:, hi_bits:local_bn], 0, 1))
+    mh = jnp.transpose(hi, (2, 0, 1))  # (C, 16, J)
+    return K.multi_eq_accum(mh, lo)
 
 
 # Per-round-size compiled shard_map programs, cached across layers and bn
@@ -136,16 +180,36 @@ def _round_fn(gate: Gate, n_tables: int, mesh: Mesh, donate: bool = False):
     key = (gate, n_tables, mesh, donate)
     f = _ROUND_CACHE.get(key)
     if f is None:
+        kind = _pallas_gate_kind(gate, [None] * n_tables)
+
         def body(gate_params, eq_b, *xs_blocks):
             eq = eq_b.reshape(fr.L, -1)
             xs = [b.reshape(fr.L, -1) for b in xs_blocks]
-            evals = _renorm_psum(
-                _partial_evals(gate, gate_params, eq, xs, None), AXIS
-            )
-            coeffs = lagrange.interpolate_on_range_device(evals)
-            r = mimc_hash_device(coeffs)
-            eq = _fold(eq, r, None)
-            xs = [_fold(x, r, None) for x in xs]
+            if kind is not None and eq.shape[-1] >= PALLAS_MIN:
+                # the fast single-chip kernels, per shard: the raw integer
+                # coefficient accumulator is an exact sum of digit products,
+                # so psum-then-REDC equals the single-chip global sum bit
+                # for bit (the consumeAccumulate analog, SURVEY.md §2.10)
+                if kind == "cipher":
+                    ark = gate_params[0].reshape(fr.L, 1)
+                    acc = K.cipher_coeff_acc(eq, xs[0], xs[1], ark, 1)
+                    acc = jax.lax.psum(acc, AXIS)
+                    coeffs = K.finish_coeff_acc(acc, 8, 7)[..., 0]
+                else:
+                    acc = K.identity_coeff_acc(eq, xs[0], 1)
+                    acc = jax.lax.psum(acc, AXIS)
+                    coeffs = K.finish_coeff_acc(acc, 2, 1)[..., 0]
+                r = mimc_hash_device(coeffs)
+                folded = K.fold_tables_gm([eq] + xs, r, 1 + len(xs), 1)
+                eq, xs = folded[0], folded[1:]
+            else:
+                evals = _renorm_psum(
+                    _partial_evals(gate, gate_params, eq, xs, None), AXIS
+                )
+                coeffs = lagrange.interpolate_on_range_device(evals)
+                r = mimc_hash_device(coeffs)
+                eq = _fold(eq, r, None)
+                xs = [_fold(x, r, None) for x in xs]
             return (
                 eq[:, None],
                 tuple(x[:, None] for x in xs),
@@ -232,13 +296,37 @@ def prove_sharded(xs_sharded, qprimes, claims, gate: Gate, mesh: Mesh) -> Sumche
     return SumcheckProof(coeffs=proof, challenges=chals, final_claims=fc)
 
 
+_WITNESS_CACHE: dict = {}
+
+
 def assign_sharded_mimc(block_sh, state_sh):
     """Witness over cyclic-sharded inputs: elementwise, so the single-chip
-    scan works unchanged under sharding propagation."""
-    from ..models.mimc import _assign_fused_jit, MIMC_ROUNDS
+    program works unchanged per shard. On TPU the fused Pallas witness
+    kernel (ops/kernels.py mimc_witness) runs shard-locally via shard_map;
+    elsewhere the jitted lax.scan relies on sharding propagation."""
+    from ..models.mimc import MIMC_ROUNDS, _arks_cols, _assign_fused_jit
 
-    states = _assign_fused_jit(block_sh, state_sh)
-    return [block_sh, state_sh, block_sh] + [states[i] for i in range(MIMC_ROUNDS)]
+    mesh = getattr(block_sh.sharding, "mesh", None)
+    local = block_sh.shape[-1] // (mesh.shape[AXIS] if mesh is not None else 1)
+    if K.pallas_enabled() and mesh is not None and local >= 512:
+        key = (mesh, block_sh.shape)
+        f = _WITNESS_CACHE.get(key)
+        if f is None:
+            def body(arks, block_b, state_b):
+                wit = K.mimc_witness(
+                    block_b.reshape(fr.L, -1), state_b.reshape(fr.L, -1), arks
+                )
+                return wit[:, :, None, :]
+
+            sh = P(None, AXIS, None)
+            f = _shmap(body, mesh, (P(), sh, sh), P(None, None, AXIS, None))
+            _WITNESS_CACHE[key] = f
+        wit = f(jnp.asarray(_arks_cols()), block_sh, state_sh)
+        states = [wit[i] for i in range(MIMC_ROUNDS)]
+    else:
+        w = _assign_fused_jit(block_sh, state_sh)
+        states = [w[i] for i in range(MIMC_ROUNDS)]
+    return [block_sh, state_sh, block_sh] + states
 
 
 def prove_gkr_sharded(circuit: Circuit, assignment, qprime, mesh: Mesh) -> GKRProof:

@@ -47,8 +47,16 @@ def initialize(coordinator_address: str | None = None,
     a bring-up failure is fatal — silently degrading a real pod to
     single-process would produce wrong-scale results. Only the
     zero-config single-process case may fall through."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # detect an existing distributed context WITHOUT jax.process_count():
+    # that call initializes the XLA backend, after which initialize() is
+    # forbidden (tests/test_multihost.py exercises this ordering)
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except Exception:  # pragma: no cover - private-API drift
+        pass
     explicit = (
         coordinator_address is not None
         or num_processes is not None

@@ -133,6 +133,16 @@ def _make_eq(qprimes, claims):
     n_claims = qprimes.shape[0]
     if not grouped and qprimes.shape[1] >= 13 and K.pallas_enabled():
         return _make_eq_multiclaim_fast(qprimes, claims)
+    if grouped and qprimes.shape[1] >= 10 and K.pallas_enabled():
+        # per-lane single-instance builds: each lane rides the Pallas
+        # kernels (mul_scalar doubling / the single-pass multi-claim
+        # contraction) that the vectorized grouped build can't — the lane
+        # RLC equals the grouped lockstep hash, so values are identical
+        g = qprimes.shape[2]
+        lanes = [
+            _make_eq(qprimes[:, :, gi], claims[:, :, gi]) for gi in range(g)
+        ]
+        return jnp.stack(lanes, axis=1)
     eq = table(qprimes[0])
     if n_claims <= 1:
         return eq
@@ -438,9 +448,29 @@ def _package_jit(n_head: int, n_evals: int, head_coeffs, head_rs, tail_coeffs,
 _final_claims_jit = jax.jit(lambda eq, xs: _final_claims(eq, list(xs)))
 
 
+def _use_monolith() -> bool:
+    """One whole-layer program (eq build + all rounds + tail + packaging)
+    per (gate, claim-count, bn) class instead of ~15 per-round dispatches.
+    On the tunneled TPU backend each top-level dispatch costs ~5ms of host
+    time, which made the per-round orchestration HOST-bound (92 layers x
+    ~15 dispatches ~ the whole 7.3s wall at bn=20); the MiMC walk needs
+    only 3 monolith classes (output cipher, 1-claim cipher, 91-claim
+    identity), so compile count stays small. Default on TPU; the portable
+    path keeps per-round programs (CPU dispatch is cheap, programs small).
+    Parity: tests/test_hotpath.py asserts monolith == per-round transcripts."""
+    import os
+
+    v = os.environ.get("GKR_MONOLITH")
+    if v is not None:
+        return v == "1"
+    return K.pallas_enabled()
+
+
 def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
     """Round orchestration: per-size jitted head rounds + one masked-scan
     tail program. All dispatches are async — no host syncs in the chain."""
+    if _use_monolith():
+        return _prove_jit(gate, gate_params, tuple(xs), qprimes, claims)
     bn = qprimes.shape[1]
     n_evals = gate.degree + 2
     eq = _make_eq_jit(qprimes, claims)
@@ -486,51 +516,42 @@ def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
 
 @partial(jax.jit, static_argnums=(0,))
 def _prove_jit(gate: Gate, gate_params, xs, qprimes, claims):
+    """The whole-layer monolith: eq build + unrolled head rounds + masked
+    tail + packaging, composed from the SAME step functions as the
+    per-round path — the transcripts are identical op for op."""
     bn = qprimes.shape[1]
     n_evals = gate.degree + 2
-
     eq = _make_eq(qprimes, claims)
+    use_coeff = (
+        _pallas_gate_kind(gate, list(xs)) is not None and _coeff_pe_enabled()
+    )
+    claim = (
+        _combined_claim(claims)
+        if (claims.shape[1] > 0 and not use_coeff)
+        else None
+    )
 
-    coeffs_rounds = []
-    challenges = []
+    head_coeffs, head_rs = [], []
     n = 1 << bn
+    xs = list(xs)
     while n > (1 << _tail_bits()):
-        eq, xs, coeffs, r, _ = _round_step(gate, gate_params, eq, xs, None)
-        coeffs_rounds.append(coeffs)
-        challenges.append(r)
+        eq, xs, coeffs, r, claim = _round_step(
+            gate, gate_params, eq, list(xs), None, claim
+        )
+        head_coeffs.append(coeffs)
+        head_rs.append(r)
         n //= 2
 
-    tail_rounds = n.bit_length() - 1
-    if tail_rounds > 0:
-        def body(carry, _):
-            eq_c, xs_c, active_mid = carry
-            eq_c, xs_c, coeffs, r, _ = _round_step(
-                gate, gate_params, eq_c, list(xs_c), active_mid
-            )
-            return (eq_c, tuple(xs_c), active_mid // 2), (coeffs, r)
-
-        (eq, xs_t, _), (tail_coeffs, tail_rs) = jax.lax.scan(
-            body,
-            (eq, tuple(xs), jnp.uint32(n // 2)),
-            None,
-            length=tail_rounds,
-        )
-        xs = list(xs_t)
-        coeffs_rounds.extend([tail_coeffs[i] for i in range(tail_rounds)])
-        challenges.extend([tail_rs[i] for i in range(tail_rounds)])
-
-    final_claims = jnp.stack([eq[..., 0]] + [x[..., 0] for x in xs], axis=0)
-    final_claims = fr.canonicalize(jnp.moveaxis(final_claims, -1, 0))
-    final_claims = jnp.moveaxis(final_claims, 0, -1)
-    if bn > 0:
-        proof = jnp.stack([jnp.moveaxis(c, 0, -1) for c in coeffs_rounds], axis=0)
-        chals = jnp.stack(challenges, axis=0)
-        proof = _canon_rows(proof)
-        chals = _canon_rows(chals)
+    if n > 1:
+        tail_coeffs, tail_rs, final_claims = _tail_body(gate, gate_params, eq, xs)
     else:
-        proof = jnp.zeros((0, n_evals, fr.L), dtype=jnp.uint32)
-        chals = jnp.zeros((0, fr.L), dtype=jnp.uint32)
-    return proof, chals, final_claims
+        tail_coeffs = tail_rs = None
+        final_claims = _final_claims(eq, xs)
+
+    return _package_jit(
+        len(head_coeffs), n_evals, tuple(head_coeffs), tuple(head_rs),
+        tail_coeffs, tail_rs, final_claims,
+    )
 
 
 def _canon_rows(arr):

@@ -51,3 +51,41 @@ def random_fr_array_np(size: int, offset: int = 0) -> np.ndarray:
     sequential chunks consumes one contiguous deterministic stream."""
     i = np.arange(offset, offset + size, dtype=np.uint64)
     return (i * i) ^ np.uint64(_RAND_XOR)
+
+
+def random_fr_device(size: int, offset: int = 0):
+    """The same deterministic generator computed ON DEVICE: (16, size)
+    standard-form limb tensor, bit-exact with
+    encode_uint64_array(random_fr_array_np(size, offset)) but with zero
+    host->device transfer (the 2^22 north-star bench uploads 128MB/chunk
+    otherwise). uint64 math in 16-bit limb columns: i = h*2^16 + l,
+    i^2 mod 2^64 = [l*l; 2*h*l << 16; h*h << 32] carried, then the XOR
+    constant applied per exact limb. Requires offset + size <= 2^32."""
+    import jax.numpy as jnp
+
+    from ..fields import fr
+
+    if isinstance(offset, int):
+        assert offset + size <= (1 << 32)
+    i = jnp.arange(size, dtype=jnp.uint32) + jnp.uint32(offset)
+    h = i >> 16
+    l = i & jnp.uint32(0xFFFF)
+    p0 = l * l
+    pm = h * l
+    p2 = h * h
+    c0 = p0 & jnp.uint32(0xFFFF)
+    c1 = (p0 >> 16) + ((pm & jnp.uint32(0xFFFF)) << 1)
+    c2 = ((pm >> 16) << 1) + (p2 & jnp.uint32(0xFFFF))
+    c3 = p2 >> 16
+    # carry propagation (c1 < 2^17+2^16, c2 likewise); c3 drops mod 2^64
+    c2 = c2 + (c1 >> 16)
+    c1 = c1 & jnp.uint32(0xFFFF)
+    c3 = (c3 + (c2 >> 16)) & jnp.uint32(0xFFFF)
+    c2 = c2 & jnp.uint32(0xFFFF)
+    xor = _RAND_XOR
+    c0 = c0 ^ jnp.uint32(xor & 0xFFFF)
+    c1 = c1 ^ jnp.uint32((xor >> 16) & 0xFFFF)
+    c2 = c2 ^ jnp.uint32((xor >> 32) & 0xFFFF)
+    c3 = c3 ^ jnp.uint32((xor >> 48) & 0xFFFF)
+    zeros = jnp.zeros((fr.L - 4, size), dtype=jnp.uint32)
+    return jnp.concatenate([jnp.stack([c0, c1, c2, c3], axis=0), zeros], axis=0)

@@ -81,6 +81,25 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True,
     tail_rounds = min(bn, tb)
     head_rounds = max(bn - tb, 0)
 
+    if sp._use_monolith():
+        # one whole-layer program per (gate, claim-count) class — the
+        # dispatch-count fix (sumcheck/prover.py _use_monolith)
+        for gate, n_tab, j_q, j_c in _walk_classes(circuit, bn):
+            p_sds = _gate_param_sds(gate)
+            xs = tuple(tbl(n) for _ in range(n_tab))
+            lower(
+                f"monolith[{gate.name},J={j_q},{j_c}]",
+                sp._prove_jit,
+                gate,
+                p_sds,
+                xs,
+                _sds((j_q, bn) + gdims + (fr.L,)),
+                _sds((fr.L, j_c) + gdims),
+            )
+        if include_verify and not gdims:
+            _enum_verify(circuit, bn, lower, _sds)
+        return jobs
+
     for gate, n_tab, j_q, j_c in _walk_classes(circuit, bn):
         p_sds = _gate_param_sds(gate)
         n_evals = gate.degree + 2
@@ -153,22 +172,29 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True,
         )
 
     if include_verify and not gdims:
-        lower("evaluate", gv._evaluate_jit, _sds((fr.L, n)), _sds((bn, fr.L)))
-        # challenge batches, grouped by per-layer coeff shape as verify does
-        shape_counts: dict = {}
-        nlayers = len(circuit)
-        for l in range(nlayers - 1, -1, -1):
-            if circuit.is_input_layer(l):
-                break
-            n_evals = circuit[l].gate.degree + 2
-            shape_counts[(bn, n_evals)] = shape_counts.get((bn, n_evals), 0) + 1
-        for (rounds, n_evals), count in shape_counts.items():
-            if rounds == 0:
-                continue
-            args = tuple(_sds((rounds, n_evals, fr.L)) for _ in range(count))
-            lower(f"hash_chals[{count}x{n_evals}]", gv._hash_coeff_rows, *args)
+        _enum_verify(circuit, bn, lower, _sds)
 
     return jobs
+
+
+def _enum_verify(circuit, bn: int, lower, sds):
+    from ..gkr import verifier as gv
+
+    n = 1 << bn
+    lower("evaluate", gv._evaluate_jit, sds((fr.L, n)), sds((bn, fr.L)))
+    # challenge batches, grouped by per-layer coeff shape as verify does
+    shape_counts: dict = {}
+    nlayers = len(circuit)
+    for l in range(nlayers - 1, -1, -1):
+        if circuit.is_input_layer(l):
+            break
+        n_evals = circuit[l].gate.degree + 2
+        shape_counts[(bn, n_evals)] = shape_counts.get((bn, n_evals), 0) + 1
+    for (rounds, n_evals), count in shape_counts.items():
+        if rounds == 0:
+            continue
+        args = tuple(sds((rounds, n_evals, fr.L)) for _ in range(count))
+        lower(f"hash_chals[{count}x{n_evals}]", gv._hash_coeff_rows, *args)
 
 
 def warm(circuit, bn: int, include_verify: bool = True, max_workers: int = 16,

@@ -246,3 +246,36 @@ def test_gadget_pipeline_end_to_end():
     )
     with pytest.raises(G.Groth16VerifyError):
         G.verify(bad, vk, public_values)
+
+
+def test_gadget_pipeline_batched_hasher():
+    """update_hasher_batch (ONE device dispatch for all hash hints) must
+    produce the identical constraint structure and a verifying proof —
+    this is the path that scales the pipeline to the reference's bench
+    sizes (performances_test.go:17-27); see scripts/bench_pipeline.py."""
+    from gkr_mimc_tpu.gadget.incircuit import GadgetCircuit, setup
+    from gkr_mimc_tpu.utils.common import random_fr_array
+
+    n = 4
+    msgs = random_fr_array(n)
+
+    def define_batch(cs, gadget):
+        states = [cs.witness(0) for _ in range(n)]
+        gadget.update_hasher_batch(
+            cs, states, [cs.witness(m) for m in msgs]
+        )
+
+    def define_loop(cs, gadget):
+        for m in msgs:
+            gadget.update_hasher(cs, cs.witness(0), cs.witness(m))
+
+    circ_b = GadgetCircuit(define_batch)
+    circ_l = GadgetCircuit(define_loop)
+    comp_b = circ_b.compile()
+    comp_l = circ_l.compile()
+    assert len(comp_b.r1cs.constraints) == len(comp_l.r1cs.constraints)
+    assert comp_b.bn == 2
+
+    pk, vk = setup(comp_b, seed=b"batch-hasher-test")
+    proof, public_values = circ_b.prove(comp_b, pk, vk)
+    G.verify(proof, vk, public_values)

@@ -160,3 +160,73 @@ def test_pallas_vs_portable_bit_equal():
         assert r.returncode == 0, r.stderr[-2000:]
         outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
     assert outs[0] == outs[1]
+
+
+def test_monolith_matches_per_round(monkeypatch):
+    """The whole-layer monolith program (GKR_MONOLITH=1, the TPU default —
+    one dispatch per layer) must produce bit-identical transcripts to the
+    per-round program chain for every claim class, single and grouped."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_mimc_tpu.circuits.gates import CipherGate, IdentityGate
+    from gkr_mimc_tpu.fields import fr
+    from gkr_mimc_tpu.sumcheck import prover as sp
+    from gkr_mimc_tpu.utils.common import random_fr_array
+    from gkr_mimc_tpu.utils.convert import ints_to_rows
+
+    bn, n = 6, 64
+
+    def tabs(k, seed):
+        vals = random_fr_array(k * n + seed)[seed:]
+        return fr.from_ints_mont(vals).reshape(fr.L, k, n)
+
+    cases = []
+    cg = CipherGate(145646)
+    x = tabs(2, 1)
+    qp1 = jnp.asarray(ints_to_rows(random_fr_array(bn)))[None]  # (1, bn, 16)
+    cases.append((cg, [x[:, 0], x[:, 1]], qp1, None))  # output layer (J=0)
+    claims1 = fr.from_ints_mont(random_fr_array(1)).reshape(fr.L, 1)
+    cases.append((cg, [x[:, 0], x[:, 1]], qp1, claims1))  # 1 claim
+    ig = IdentityGate()
+    qp3 = jnp.stack(
+        [jnp.asarray(ints_to_rows(random_fr_array(bn + j)[j:])) for j in range(3)]
+    )
+    claims3 = fr.from_ints_mont(random_fr_array(3)).reshape(fr.L, 3)
+    cases.append((ig, [x[:, 0]], qp3, claims3))  # multi-claim identity
+
+    for gate, xs, qp, claims in cases:
+        monkeypatch.setenv("GKR_MONOLITH", "0")
+        ref = sp.prove(xs, qp, claims, gate)
+        monkeypatch.setenv("GKR_MONOLITH", "1")
+        got = sp.prove(xs, qp, claims, gate)
+        for a, b in (
+            (ref.coeffs, got.coeffs),
+            (ref.challenges, got.challenges),
+            (ref.final_claims, got.final_claims),
+        ):
+            assert (
+                np.asarray(jax.device_get(a)) == np.asarray(jax.device_get(b))
+            ).all(), gate.name
+
+    # grouped (G=2) single-claim cipher
+    g = 2
+    xg = tabs(4, 2).reshape(fr.L, 2, g, n)
+    qpg = jnp.stack(
+        [jnp.asarray(ints_to_rows(random_fr_array(bn + j)[j:])) for j in range(g)],
+        axis=1,
+    )[None]  # (1, bn, G, 16)
+    claimsg = fr.from_ints_mont(random_fr_array(g)).reshape(fr.L, 1, g)
+    monkeypatch.setenv("GKR_MONOLITH", "0")
+    ref = sp.prove([xg[:, 0], xg[:, 1]], qpg, claimsg, cg)
+    monkeypatch.setenv("GKR_MONOLITH", "1")
+    got = sp.prove([xg[:, 0], xg[:, 1]], qpg, claimsg, cg)
+    for a, b in (
+        (ref.coeffs, got.coeffs),
+        (ref.challenges, got.challenges),
+        (ref.final_claims, got.final_claims),
+    ):
+        assert (
+            np.asarray(jax.device_get(a)) == np.asarray(jax.device_get(b))
+        ).all(), "grouped"

@@ -119,3 +119,20 @@ def test_precompile_enumeration_covers_walk():
     grouped = precompile.enumerate_jobs(c, 5, include_verify=True, group=4)
     # grouped mode skips the (single-instance) verifier programs
     assert "evaluate" not in [l for l, _ in grouped]
+
+
+def test_random_fr_device_matches_host_generator():
+    """The on-device deterministic generator (one iota + limb square + xor,
+    zero host transfer) is bit-exact with the host encoder of the
+    reference's RandomFrArray (common/common.go:49-55)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gkr_mimc_tpu.fields import fr
+    from gkr_mimc_tpu.utils.common import random_fr_array_np, random_fr_device
+
+    f = jax.jit(lambda off: random_fr_device(256, off))
+    for off in (0, 1, 77, 1 << 20, (1 << 22) * 3):
+        dev = np.asarray(f(jnp.uint32(off)))
+        ref = fr.encode_uint64_array(random_fr_array_np(256, offset=off))
+        assert (dev == ref).all(), off
