@@ -368,3 +368,17 @@ def pow7(a):
     x3 = mul(x2, a)
     x6 = square(x3)
     return mul(x6, a)
+
+
+def pow7_lat(a):
+    """Latency-optimized S-box for tiny (lane-starved) shapes — the
+    Fiat-Shamir hash chain, where the VPU mul cost is op-COUNT bound and
+    independent of lane width: batch x^3 = x^2*x and x^4 = x^2*x^2 into ONE
+    mul on doubled lanes, then x^7 = x^3*x^4. Three sequential muls
+    instead of four (same field values; only the chain shape differs)."""
+    b = a.shape[-1]
+    x2 = square(a)
+    lhs = jnp.concatenate([x2, x2], axis=-1)
+    rhs = jnp.concatenate([a, x2], axis=-1)
+    x34 = mul(lhs, rhs)
+    return mul(x34[..., :b], x34[..., b:])

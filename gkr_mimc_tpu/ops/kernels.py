@@ -216,7 +216,7 @@ def _fs_hash_kernel(n_words: int, unroll: int, use_mxu: bool):
         for j in range(unroll):  # `unroll` MiMC rounds per grid step
             ark = _col(arks_ref, i * unroll + j)
             t = fc.add(fc.add(res, st), ark)
-            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7(t)
+            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7_lat(t)
         res_ref[:] = res
 
         @pl.when(i == n_steps - 1)
@@ -959,7 +959,7 @@ def _fs_hash_kernel_g(n_words: int, unroll: int, use_mxu: bool):
                 keepdims=True,
             ).astype(jnp.uint32)
             t = fc.add(fc.add(res, st), ark)
-            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7(t)
+            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7_lat(t)
         res_ref[:] = res
 
         @pl.when(i == n_steps - 1)

@@ -133,3 +133,47 @@ def test_in_circuit_gkr_rejects_tamper(gkr_setup):
     )
     with pytest.raises(UnsatisfiedConstraint):
         _assert_valid(c, a, qprime_int, tampered)
+
+
+def test_in_circuit_gkr_realistic_bn_and_cost_model():
+    """The reference exercises its snark GKR circuit at bn 0..11 and prints
+    the constraint-count story that justifies the design ("~3 constraints
+    per hash", snark/gkr/gkr_test.go:67-124). Verify at bn up to 9 (512
+    hashes) and pin the cost MODEL c(bn) = A*bn + B*2^bn + C:
+
+      A = per-round verifier overhead (~94 in-circuit transcript hashes),
+      B = the true per-hash slope — the 3 MultiLin table evals, a few
+          muls each. B is what the direct 91*4 muls/hash is traded for;
+      the A*bn term amortizes away at production bn (the crossover where
+      the verifier beats direct in-circuit MiMC is ~bn=14; at bn=24 the
+      per-hash cost is ~B)."""
+    counts = {}
+    for bn in (4, 6, 9):
+        n = 1 << bn
+        c = mimc_circuit()
+        block = fr.from_ints_mont(random_fr_array(n))
+        state = fr.from_ints_mont(random_fr_array(n))
+        a = circ_mod.assign(c, [block, state])
+        qprime_int = random_fr_array(bn)
+        qprime = jnp.asarray(ints_to_rows(qprime_int))
+        proof = gkr_prover.prove(c, a, qprime)
+        cs = _assert_valid(c, a, qprime_int, proof)
+        counts[bn] = cs.nb_constraints
+        print(f"bn={bn}: {cs.nb_constraints} verifier constraints "
+              f"({cs.nb_constraints / n:.1f}/hash; direct = {91 * 4}/hash)")
+
+    import numpy as np
+
+    bns = np.array([4, 6, 9], dtype=float)
+    m = np.stack([bns, 2.0 ** bns, np.ones(3)], axis=1)
+    a_coef, b_coef, c_coef = np.linalg.solve(
+        m, np.array([float(counts[b]) for b in (4, 6, 9)])
+    )
+    per_hash_24 = (a_coef * 24 + b_coef * 2**24 + c_coef) / 2**24
+    print(f"model: c(bn) = {a_coef:.0f}*bn + {b_coef:.2f}*2^bn + {c_coef:.0f}"
+          f" -> {per_hash_24:.2f} constraints/hash at bn=24"
+          f" (direct: {91 * 4})")
+    # the design claim (README.md:3-5): a few constraints per hash at
+    # production scale, not 91*4 — B is the asymptotic per-hash cost
+    assert b_coef < 20, b_coef
+    assert per_hash_24 < 20, per_hash_24
