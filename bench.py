@@ -72,17 +72,52 @@ def force(proof):
 # deterministic inputs, bit-exact with common/common.go:49-55, generated
 # ON DEVICE (one iota + 16-bit-limb square + xor; zero host transfer)
 @partial(jax.jit, static_argnums=(0,))
-def _gen_input(n: int, offset):
+def _gen_input_jit(n: int, offset):
     return fr.to_mont(random_fr_device(n, jnp.uint32(offset)))
+
+
+def _gen_input(n: int, offset: int):
+    # validate BEFORE the int -> traced-uint32 conversion: a wrapped index
+    # would silently diverge from the host generator (advisor r3)
+    assert offset + n <= (1 << 32), (offset, n)
+    return _gen_input_jit(n, offset)
+
+
+def measure_fs_hash_ms(reps: int = 20) -> float:
+    """MEASURED per-hash Fiat-Shamir latency: a chain of `reps` dependent
+    9-word transcript hashes inside one jit (exactly how the prover's
+    round loop consumes them). The roofline below uses this instead of a
+    hardcoded constant so the printed compute-bound gap stays honest."""
+    import numpy as _np
+
+    from gkr_mimc_tpu.hashes.mimc import mimc_hash_device
+
+    rng = _np.random.default_rng(7)
+    msgs = jnp.asarray(rng.integers(0, 1 << 13, size=(16, 9), dtype=_np.uint32))
+
+    @jax.jit
+    def chain(m):
+        h = None
+        for _ in range(reps):
+            h = mimc_hash_device(m)
+            m = jnp.broadcast_to(h[:, None], (16, 9))
+        return h
+
+    _np.asarray(jax.device_get(chain(msgs)))
+    t0 = time.time()
+    out = chain(msgs)
+    _np.asarray(jax.device_get(out))
+    return (time.time() - t0) / reps * 1e3
 
 
 def report_layer_roofline(bn: int):
     """Per-layer ms vs roofline: time ONE cipher-layer sumcheck through the
     production path (the unit the 92-layer walk repeats). Roofline model:
-    HBM traffic / 820 GB/s (v5e) — the coefficient-form round kernel reads
-    eq+x0+x1 once and writes the three folded halves, so a full layer
-    (sum over halving rounds) moves ~2x the round-1 bytes; the FS-hash
-    chain (~bn x 2.6ms) is a latency floor on top, amortized by grouping."""
+    HBM traffic / 820 GB/s (v5e) — the Gruen round kernel reads S+x0+x1
+    once and writes the two folded halves, so a full layer (sum over
+    halving rounds) moves ~2x the round-1 bytes; the FS-hash chain
+    (bn x the MEASURED per-hash latency) is a protocol latency floor on
+    top, amortized only by grouped lanes."""
     import numpy as _np
 
     from gkr_mimc_tpu.circuits.gates import CipherGate
@@ -90,13 +125,18 @@ def report_layer_roofline(bn: int):
 
     n = 1 << bn
     rng = _np.random.default_rng(7)
-    tab = lambda: jnp.asarray(
-        rng.integers(0, 1 << 16, size=(16, n), dtype=_np.uint32)
-    )
+
+    def tab():
+        t = rng.integers(0, 1 << 16, size=(16, n), dtype=_np.uint32)
+        t[15] &= 0x1FFF  # valid field elements (< p)
+        return jnp.asarray(t)
+
     x0, x1 = tab(), tab()
     gate = CipherGate(145646)
-    qprimes = jnp.asarray(rng.integers(0, 1 << 16, size=(1, bn, 16), dtype=_np.uint32))
-    claims = jnp.asarray(rng.integers(0, 1 << 16, size=(16, 1), dtype=_np.uint32))
+    qprimes = jnp.asarray(
+        rng.integers(0, 1 << 13, size=(1, bn, 16), dtype=_np.uint32)
+    )
+    claims = jnp.asarray(rng.integers(0, 1 << 13, size=(16, 1), dtype=_np.uint32))
 
     def layer():
         p, c, f = sp._prove_rounds(gate, gate.params(), [x0, x1], qprimes, claims)
@@ -109,12 +149,16 @@ def report_layer_roofline(bn: int):
         out = layer()
     _np.asarray(jax.device_get(out))
     per_layer_ms = (time.time() - t0) / reps * 1e3
-    bytes_moved = 2 * (3 + 3 / 2) * n * 64  # round-1 reads+writes, x2 for tail
+    # reads S (n/2) + x0 + x1 (2n), writes folded x0+x1 (n); halving rounds
+    # sum to ~2x round 1
+    bytes_moved = 2 * (3.5 + 1) * (n // 2) * 64
     hbm_ms = bytes_moved / 820e9 * 1e3
-    fs_ms = bn * 2.6
+    fs_hash_ms = measure_fs_hash_ms()
+    fs_ms = bn * fs_hash_ms
     log(
         f"# per-layer (cipher sumcheck, bn={bn}): {per_layer_ms:.1f} ms | "
         f"rooflines: HBM {hbm_ms:.1f} ms + FS-chain floor {fs_ms:.1f} ms "
+        f"({fs_hash_ms:.2f} ms/hash measured) "
         f"(compute-bound gap: {per_layer_ms / (hbm_ms + fs_ms):.1f}x)"
     )
 
@@ -184,8 +228,19 @@ def bench_grouped(bn: int, group: int, verify: bool):
         axis=1,
     )  # (bn, G, 16)
 
+    # grouped full-bn lanes exceed HBM with a fully-resident witness
+    # (G x 6.3 GB at bn=20); the checkpoint/recompute assignment keeps
+    # ~23/94 tables live at identical transcripts
+    from gkr_mimc_tpu.models.checkpoint import CheckpointedAssignment
+
+    use_ckpt = os.environ.get("GKR_BENCH_CKPT", "1") == "1"
+
     def run():
-        a = assign_fused(block, state)
+        a = (
+            CheckpointedAssignment(block, state)
+            if use_ckpt
+            else assign_fused(block, state)
+        )
         proof = gkr_prover.prove(c, a, qprime)
         return a[93], proof
 
@@ -309,11 +364,22 @@ def main():
 
     qprime = jnp.asarray(ints_to_rows(random_fr_array(bn)))
 
+    # bn >= 22 exceeds HBM with a fully-resident witness (25 GB): use the
+    # checkpoint/recompute assignment (bit-identical transcripts)
+    use_ckpt = os.environ.get(
+        "GKR_BENCH_CKPT", "1" if bn >= 21 else "0"
+    ) == "1"
+    if use_ckpt:
+        from gkr_mimc_tpu.models.checkpoint import CheckpointedAssignment
+
     def run():
         # return only the output table + proof: the other 93 assignment
         # tables (6.3 GB at bn=20) must be freed before the next run, or
         # two live assignments exceed HBM
-        a = assign_fused(block, state)
+        if use_ckpt:
+            a = CheckpointedAssignment(block, state)
+        else:
+            a = assign_fused(block, state)
         proof = gkr_prover.prove(c, a, qprime)
         return a[93], proof
 

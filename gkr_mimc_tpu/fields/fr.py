@@ -480,6 +480,31 @@ def _skew_cols_k(prod_planes):
     return jnp.concatenate([low, high], axis=0).astype(U32)
 
 
+def _redc_once_wide(c):
+    """One wide REDC pass: c (K, *S) redundant 16-bit-basis columns
+    (< 2**31) -> columns of (value + m*p)/R, i.e. value*R^-1 mod p,
+    bounded by value/R + p, as exact 16-bit limbs."""
+    s = c.shape[1:]
+    kk = c.shape[0]
+    v = _carry_norm(
+        jnp.concatenate([c, jnp.zeros((2,) + s, dtype=U32)], axis=0), 31
+    )  # (kk+2, *S) exact 16-bit limbs
+    mlo, mhi = _const_mul_planes(v[:L], _NP16)
+    m_cols = _skew_cols(mlo)[:L] + _shift_up(_skew_cols(mhi)[:L], 1)
+    m = _carry_norm(m_cols, 22)
+    plo, phi = _const_mul_planes(m, P_LIMBS)
+    mp_cols = _skew_cols(plo) + _shift_up(_skew_cols(phi), 1)  # (32, *S)
+    n_tot = max(kk + 2, 32)
+
+    def pad_to(x, n):
+        return jnp.concatenate(
+            [x, jnp.zeros((n - x.shape[0],) + s, dtype=U32)], axis=0
+        )
+
+    tot = _carry_norm(pad_to(v, n_tot) + pad_to(mp_cols, n_tot), 23)
+    return tot[L:]  # value/R, (n_tot-16) exact 16-bit limbs
+
+
 def redc_extra_wide(cols):
     """REDC of an arbitrarily wide redundant value: cols (K, *S) uint32
     16-bit-basis columns (each < 2**31, K >= 16, value < R * 2**240ish).
@@ -493,32 +518,24 @@ def redc_extra_wide(cols):
     k = cols.shape[0]
     s = cols.shape[1:]
     assert k >= 16
-
-    def redc_once(c):
-        kk = c.shape[0]
-        v = _carry_norm(
-            jnp.concatenate([c, jnp.zeros((2,) + s, dtype=U32)], axis=0), 31
-        )  # (kk+2, *S) exact 16-bit limbs
-        mlo, mhi = _const_mul_planes(v[:L], _NP16)
-        m_cols = _skew_cols(mlo)[:L] + _shift_up(_skew_cols(mhi)[:L], 1)
-        m = _carry_norm(m_cols, 22)
-        plo, phi = _const_mul_planes(m, P_LIMBS)
-        mp_cols = _skew_cols(plo) + _shift_up(_skew_cols(phi), 1)  # (32, *S)
-        n_tot = max(kk + 2, 32)
-
-        def pad_to(x, n):
-            return jnp.concatenate(
-                [x, jnp.zeros((n - x.shape[0],) + s, dtype=U32)], axis=0
-            )
-
-        tot = _carry_norm(pad_to(v, n_tot) + pad_to(mp_cols, n_tot), 23)
-        return tot[L:]  # value/R, (n_tot-16) exact 16-bit limbs
-
-    t = redc_once(cols)  # ~ (K-14, *S)
-    t2 = redc_once(t)  # (max(K-14+2,32)-16, *S): < 2p once K <= 46
+    t = _redc_once_wide(cols)  # ~ (K-14, *S)
+    t2 = _redc_once_wide(t)  # (max(K-14+2,32)-16, *S): < 2p once K <= 46
     t2 = t2[:L]  # the value fits 16 limbs (< 2p) for our input ranges
     # two REDCs net R^-2; one Montgomery multiply by R^2 restores R^-1
     return mul(t2, _r2_tensor(len(s)))
+
+
+def redc_wide_plain3(cols):
+    """Three wide REDC passes with NO Montgomery correction: cols (K, *S)
+    with value < R^3 * 2p -> the PLAIN-form lazy representative (< 2p) of
+    value * R^-3 mod p. The finishing step for the Gruen-path deferred
+    accumulators, whose entries carry three Montgomery factors (weights *
+    un-REDCed raw products); the caller folds the remaining correction
+    into its constant multiply (ops/kernels.py finish_gruen_acc)."""
+    t = _redc_once_wide(cols)
+    t = _redc_once_wide(t)
+    t = _redc_once_wide(t)
+    return t[:L]
 
 
 def _r2_tensor(batch_ndim):

@@ -196,19 +196,28 @@ def setup(r1cs: CompiledR1CS, gkr_partition, seed: bytes | None = None):
         z_scalars.append(acc)
         acc = acc * tau % R
 
-    a_query = _g1_batch(u)
-    b1_query = _g1_batch(v)
-    b2_query = _g2_batch(v)
-    k_pub_pts = _g1_batch(k_pub_scalars)
-    z_query = _g1_batch(z_scalars)
-
-    # gadget split of the private K (setup.go:101-146): sigma-mark the GKR
-    # slice; note k_priv_scalars is indexed by wire - n_pub
+    # the fixed-base batches are independent — overlap them on threads
+    # (the native calls drop the GIL; Parallelize analog, setup.go:140)
     pub_gkr, priv_gkr, pub_not_gkr, priv_not_gkr = gkr_partition
     sigma_scaled = [k_priv_scalars[wid - n_pub] * sigma % R for wid in priv_gkr]
     not_gkr_scaled = [k_priv_scalars[wid - n_pub] for wid in priv_not_gkr]
-    priv_k_gkr_sigma = _g1_batch(sigma_scaled)
-    priv_k_not_gkr = _g1_batch(not_gkr_scaled)
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(max_workers=4) as ex:
+        f_a = ex.submit(_g1_batch, u)
+        f_b1 = ex.submit(_g1_batch, v)
+        f_b2 = ex.submit(_g2_batch, v)
+        f_kp = ex.submit(_g1_batch, k_pub_scalars)
+        f_z = ex.submit(_g1_batch, z_scalars)
+        f_sig = ex.submit(_g1_batch, sigma_scaled)
+        f_ng = ex.submit(_g1_batch, not_gkr_scaled)
+        a_query = f_a.result()
+        b1_query = f_b1.result()
+        b2_query = f_b2.result()
+        k_pub_pts = f_kp.result()
+        z_query = f_z.result()
+        priv_k_gkr_sigma = f_sig.result()
+        priv_k_not_gkr = f_ng.result()
     pub_k_gkr = [k_pub_pts[wid] for wid in pub_gkr]
 
     gen2 = g2.to_jac(g2.GEN)
@@ -363,7 +372,6 @@ def prove(
     c_vals = [x[2] for x in r1cs.abc]
 
     d = _domain_size(len(r1cs.constraints))
-    h = compute_h(a_vals, b_vals, c_vals, d)
 
     # blinding: fresh randomness per proof by default (the reference's
     # SetRandom, prove.go:161-167) — deterministic blinding would make
@@ -374,20 +382,31 @@ def prove(
     r_blind = _toxic(seed, b"r")
     s_blind = _toxic(seed, b"s")
 
-    ar_j = g1.add(
-        g1.add(pk.alpha1, _msm(pk.a_query, z)),
-        g1.scalar_mul(pk.delta1, r_blind),
-    )
-    bs1_j = g1.add(
-        g1.add(pk.beta1, _msm(pk.b1_query, z)),
-        g1.scalar_mul(pk.delta1, s_blind),
-    )
-    bs2_j = g2.add(
-        g2.add(pk.beta2, _msm_g2(pk.b2_query, z)),
-        g2.scalar_mul(pk.delta2, s_blind),
-    )
+    # computeH and the three big multiexps are independent — run them
+    # concurrently (the native calls drop the GIL), the analog of the
+    # reference's goroutine-per-MSM overlap (prove.go:124-303)
+    import concurrent.futures as _cf
 
-    krs_j = _msm(pk.z_query, h[: d - 1])
+    with _cf.ThreadPoolExecutor(max_workers=4) as ex:
+        f_h = ex.submit(compute_h, a_vals, b_vals, c_vals, d)
+        f_a = ex.submit(_msm, pk.a_query, z)
+        f_b1 = ex.submit(_msm, pk.b1_query, z)
+        f_b2 = ex.submit(_msm_g2, pk.b2_query, z)
+        h = f_h.result()
+        f_krs = ex.submit(_msm, pk.z_query, h[: d - 1])
+        ar_j = g1.add(
+            g1.add(pk.alpha1, f_a.result()),
+            g1.scalar_mul(pk.delta1, r_blind),
+        )
+        bs1_j = g1.add(
+            g1.add(pk.beta1, f_b1.result()),
+            g1.scalar_mul(pk.delta1, s_blind),
+        )
+        bs2_j = g2.add(
+            g2.add(pk.beta2, f_b2.result()),
+            g2.scalar_mul(pk.delta2, s_blind),
+        )
+        krs_j = f_krs.result()
     krs_j = g1.add(krs_j, g1.scalar_mul(ar_j, s_blind))
     krs_j = g1.add(krs_j, g1.scalar_mul(bs1_j, r_blind))
     krs_j = g1.add(

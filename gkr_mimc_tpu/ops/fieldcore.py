@@ -117,6 +117,42 @@ def _accum_const(x, c_limbs, acc, lo_only=False):
         acc.add_plane(p >> W, j + 1, lo_only)
 
 
+def _accum_const_fused(x, c_limbs, acc, lo_only=False):
+    """_accum_const with the fused 17-bit planes of _accum_product_fused:
+    one add_plane per constant limb plus a single closed-form correction
+    for the wrapped hi(x_15 * c_j) terms."""
+    for j in range(L):
+        c = int(c_limbs[j])
+        if c == 0:
+            continue
+        p = x * np.uint32(c)
+        cpl = (p & MASK) + _roll(p >> W, 1)
+        acc.add_plane(cpl, j, lo_only)
+    cvec = _const_vec(c_limbs, (L,) + (1,) * (x.ndim - 1))
+    cvec = jnp.broadcast_to(cvec, x.shape)  # lanes-only broadcast
+    x15 = x[L - 1 : L]
+    qh = (x15 * cvec) >> W  # row j = hi(x_15 * c_j), wrapped to lo col j
+    acc.lo = acc.lo - qh
+    if not lo_only:
+        acc.hi = acc.hi + qh
+
+
+def _lo_carry_f32_cols(lo_cols):
+    """Exact f32 carry-out (value >> 256) of 16 redundant columns whose
+    value is a multiple of 2**256 (the REDC low half): same dot-product
+    trick as _lo_carry_f32 but on u32 columns < 2**23 directly."""
+    shape1 = (L,) + (1,) * (lo_cols.ndim - 1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, shape1, 0)
+    bits = jnp.where(rid >= 9, (16 * rid - 129) << 23, 0)
+    w = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    o3f = jnp.sum(
+        lo_cols.astype(jnp.int32).astype(jnp.float32) * w,
+        axis=0,
+        keepdims=True,
+    )
+    return (o3f + np.float32(0.5)).astype(jnp.int32).astype(U32)
+
+
 def carry_rows(cols, bound_bits: int, with_over: bool = False):
     """Carry-normalize 16 redundant columns (< 2**bound_bits) to 16-bit
     limbs; optionally return the multi-bit overflow out of the top row.
@@ -247,17 +283,83 @@ def _mxu_dot(m, x):
     )
 
 
-def mul_mxu(a, b, m1, m2, square: bool = False):
-    """REDC(a*b) with the constant products on the MXU: (16, B) x (16, B)
-    -> (16, B) lazy reps. m1/m2 are REDC_M1/REDC_M2 passed in as kernel
-    inputs (Mosaic kernels cannot capture constant arrays)."""
-    shape = a.shape
-    acc = _Acc(shape)
-    _accum_product(a, a if square else b, acc, double_cross=square)
+def _accum_product_fused(a, b, acc):
+    """Lean schoolbook: per plane, the lo and hi halves of a*b_j are fused
+    into ONE 17-bit plane c = p_lo + roll(p_hi, 1) before placement (one
+    add_plane instead of two — ~25% fewer VPU ops than _accum_product).
+    The single misrouted term (p_hi[15], which the roll wraps to column j
+    instead of j+16) is fixed by one closed-form correction plane:
+    qh[j] = hi(a_15*b_j) is subtracted from lo column j and added to hi
+    column j, for all j at once. u32 wraparound in the subtract is fine —
+    the net column values are exact mod 2**32 and bounded < 2**22."""
+    n = a.shape[0]
+    for j in range(n):
+        bj = b[j : j + 1]
+        if bj.shape != (1,) + a.shape[1:]:
+            bj = jnp.broadcast_to(bj, (1,) + a.shape[1:])
+        p = a * bj
+        c = (p & MASK) + _roll(p >> W, 1)  # 17-bit fused plane
+        acc.add_plane(c, j)
+    # top row of `a` via masked reduce, NOT a row slice: callers may pass a
+    # lane-broadcast `a` (the multi-claim eq kernel), and Mosaic refolds a
+    # slice-of-broadcast into an unsupported both-axis broadcast
+    a15 = jnp.sum(
+        jnp.where(_rowid(a.shape) == n - 1, a.astype(jnp.int32), 0),
+        axis=0,
+        keepdims=True,
+    ).astype(U32)
+    if b.shape != a.shape:
+        # lanes-only broadcast (sublane count already matches; Mosaic
+        # cannot broadcast sublanes and lanes in one op)
+        b = jnp.broadcast_to(b, a.shape)
+    qh = (a15 * b) >> W  # row j = hi(a_15 * b_j)
+    acc.lo = acc.lo - qh
+    acc.hi = acc.hi + qh
+
+
+def _lo_carry_f32(mp, t_lo):
+    """Exact carry-out of the REDC low half as an f32 dot product.
+
+    lo_value = sum_k (c16_lo[k] + t_lo[k]) * 2**(16k) is a multiple of
+    2**256 (that is what REDC guarantees), so the carry o3 = lo_value >> 256
+    is an integer < 2**16. Computed as sum of the *pieces* (mp rows are
+    exact f32 integers < 2**23, t_lo < 2**17) with power-of-two weights
+    2**(16k-256): products are exact, the true sum is an integer, and the
+    accumulated f32 rounding error (< 0.1) plus the dropped k <= 8 terms
+    (< 2**-100 total) round away. Replaces a full Kogge-Stone carry chain."""
+    shape1 = (L,) + (1,) * (t_lo.ndim - 1)
+    rid = jax.lax.broadcasted_iota(jnp.int32, shape1, 0)
+    # w[k] = 2**(16k - 256) for k >= 9 else 0, built from exponent bits
+    bits = jnp.where(rid >= 9, (16 * rid - 129) << 23, 0)
+    w = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    o3f = (
+        jnp.sum(mp[:L] * w, axis=0, keepdims=True)
+        + jnp.sum(mp[32 : 32 + L] * (w * np.float32(256.0)), axis=0, keepdims=True)
+        + jnp.sum(t_lo.astype(jnp.int32).astype(jnp.float32) * w, axis=0,
+                  keepdims=True)
+    )
+    return (o3f + np.float32(0.5)).astype(jnp.int32).astype(U32)
+
+
+def _mul_mxu_product(a, b, square: bool = False):
+    """The T = a*b stage shared by mul_mxu / mul_mxu_lazy: lazy 17-bit
+    column halves (t_lo, t_hi)."""
+    acc = _Acc(a.shape)
+    # the fused planes beat double_cross squaring too (measured: the
+    # double_cross selects/shifts cost more than the multiplies they save)
+    _accum_product_fused(a, a if square else b, acc)
     # lazy 17-bit columns of T (skip the Kogge-Stone: the matmul tolerates
     # 9-bit lazy digits and the final sum re-carries exactly anyway)
     t_lo, o1 = shrink_rows(acc.lo, 23, with_over=True)
     t_hi = shrink_rows(_add_row0(acc.hi, o1), 23)
+    return t_lo, t_hi
+
+
+def mul_mxu(a, b, m1, m2, square: bool = False):
+    """REDC(a*b) with the constant products on the MXU: (16, B) x (16, B)
+    -> (16, B) lazy reps. m1/m2 are REDC_M1/REDC_M2 passed in as kernel
+    inputs (Mosaic kernels cannot capture constant arrays)."""
+    t_lo, t_hi = _mul_mxu_product(a, b, square=square)
 
     # digits of T_lo in the permuted basis; mask digit 31 (mod R)
     dlo = t_lo & jnp.uint32(0xFF)
@@ -272,14 +374,25 @@ def mul_mxu(a, b, m1, m2, square: bool = False):
     )
 
     mp = _mxu_dot(m2, _f32(m_dig))  # (64, B) 8-bit-basis cols < 2**23
+    o3 = _lo_carry_f32(mp, t_lo)  # exact carry out of the zero low half
     mp_e = _u32(mp[:32])
     mp_o = _u32(mp[32:])
     c16 = mp_e + (mp_o << 8)  # (32, B) 16-bit-basis cols < 2**32 - eps
-
-    lo_cols = c16[:L] + t_lo
-    _, o3 = carry_rows(lo_cols, 32, with_over=True)  # exact carry out
     hi_cols = _add_row0(c16[L:] + t_hi, o3)
     return carry_rows(hi_cols, 32)
+
+
+def mul_mxu_lazy(a, b, square: bool = False):
+    """a*b WITHOUT the Montgomery reduction: (16, B) x (16, B) -> (32, B)
+    lazy 17-bit columns of the double-width product T (value a*b exactly;
+    in Montgomery terms one R factor higher than mul_mxu's output).
+
+    Used for the final products of the partial-eval raw chains: the
+    eq-weighted hypercube contraction is linear, so REDC moves after the
+    reduction — once per round coefficient instead of once per element
+    (ops/kernels.py digits64 + finish handle the wide result)."""
+    t_lo, t_hi = _mul_mxu_product(a, b, square=square)
+    return jnp.concatenate([t_lo, t_hi], axis=0)
 
 
 def square_mxu(a, m1, m2):
@@ -296,23 +409,22 @@ def pow7_mxu(a, m1, m2):
 def mul(a, b, square: bool = False):
     """REDC(a*b) for lazy reps (< 2p): (16, B) x (16, B) -> (16, B)."""
     shape = a.shape
-    # T = a*b (or a^2)
+    # T = a*b (or a^2); fused 17-bit planes (cols < 16*2**17 -> bound 22)
     acc = _Acc(shape)
-    _accum_product(a, a if square else b, acc, double_cross=square)
-    # columns < 32*2**17 = 2**22 (squaring doubles halves) -> bound 23
-    t_lo, o1 = carry_rows(acc.lo, 23, with_over=True)
-    t_hi = carry_rows(_add_row0(acc.hi, o1), 23)
+    _accum_product_fused(a, a if square else b, acc)
+    t_lo, o1 = carry_rows(acc.lo, 22, with_over=True)
+    t_hi = carry_rows(_add_row0(acc.hi, o1), 22)
 
     # m = (T mod R) * NPRIME mod R (columns < 16 only)
     macc = _Acc(shape)
-    _accum_const(t_lo, _NP16, macc, lo_only=True)
+    _accum_const_fused(t_lo, _NP16, macc, lo_only=True)
     m = carry_rows(macc.lo, 22)
 
-    # T + m*p >> 256
+    # T + m*p >> 256: the low half is a multiple of R, so its carry-out is
+    # one exact f32 dot instead of a Kogge-Stone chain
     pacc = _Acc(shape)
-    _accum_const(m, P_LIMBS, pacc)
-    lo_cols = pacc.lo + t_lo  # < 2**22 + 2**16
-    _, o3 = carry_rows(lo_cols, 23, with_over=True)  # low half: carries only
+    _accum_const_fused(m, P_LIMBS, pacc)
+    o3 = _lo_carry_f32_cols(pacc.lo + t_lo)  # < 2**22 + 2**16
     hi_cols = _add_row0(pacc.hi + t_hi, o3)
     return carry_rows(hi_cols, 23)
 

@@ -22,7 +22,7 @@ up to 2**11 blocks), finished by a wide REDC outside the kernel.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -143,6 +143,9 @@ def mimc_witness(block, state, arks_cols):
     b = min(
         _block_for(n), int(os.environ.get("GKR_WITNESS_BLOCK", "512"))
     )
+    # a non-power-of-two or non-dividing override would silently DROP
+    # trailing lanes from the witness via grid truncation (advisor r3)
+    assert b > 0 and (b & (b - 1)) == 0 and n % b == 0, (n, b)
     use_mxu = _witness_mxu() and b >= 128
     n_rounds = arks_cols.shape[1]
     arks_pad = jnp.zeros((L, 128), dtype=jnp.uint32).at[:, :n_rounds].set(arks_cols)
@@ -184,6 +187,16 @@ def _fs_mxu() -> bool:
     return os.environ.get("GKR_FS_MXU", "0") == "1"
 
 
+def _fs_sbox():
+    """A/B knob for the FS chain's S-box form (trace-time): 'lat' = the
+    3-sequential-mul lane-doubled chain, 'plain' = 4 plain muls (no
+    concat/slice layout ops)."""
+    return (
+        fc.pow7 if os.environ.get("GKR_FS_SBOX", "lat") == "plain"
+        else fc.pow7_lat
+    )
+
+
 def _fs_hash_kernel(n_words: int, unroll: int, use_mxu: bool):
     n_steps = MIMC_FS_ROUNDS // unroll
 
@@ -213,10 +226,11 @@ def _fs_hash_kernel(n_words: int, unroll: int, use_mxu: bool):
         m1, m2 = m1_ref[:], m2_ref[:]
         res = res_ref[:]
         st = st_ref[:]
+        sbox = _fs_sbox()
         for j in range(unroll):  # `unroll` MiMC rounds per grid step
             ark = _col(arks_ref, i * unroll + j)
             t = fc.add(fc.add(res, st), ark)
-            res = fc.pow7_mxu(t, m1, m2) if use_mxu else fc.pow7_lat(t)
+            res = fc.pow7_mxu(t, m1, m2) if use_mxu else sbox(t)
         res_ref[:] = res
 
         @pl.when(i == n_steps - 1)
@@ -561,13 +575,27 @@ def _identity_coeff_kernel(bpg: int):
     return kern
 
 
-def _coeff_geometry(total: int, g: int):
+def _coeff_geometry(total: int, g: int, block: int | None = None):
     n = total // g
     mid = n // 2
-    b = min(max(DEFAULT_BLOCK, 512), mid)
+    b = min(block if block else max(DEFAULT_BLOCK, 512), mid)
     bpg = mid // b        # blocks per group half
     npb = n // b          # group stride in block units
     return b, bpg, npb
+
+
+def _pe_block() -> int:
+    """Block size for the heavy partial-eval kernels (17-26 field muls per
+    block: per-grid-step DMA overhead is a small fraction already)."""
+    return int(os.environ.get("GKR_PE_BLOCK", "1024"))
+
+
+def _fold_block() -> int:
+    """Block size for the fold kernel. Folds do only nt light muls per
+    block, so per-grid-step overhead dominates at 512; 4096 amortizes it
+    (measured ~2.5x at bn=20) while 6 x (16, 4096) u32 blocks still sit
+    well inside VMEM."""
+    return int(os.environ.get("GKR_FOLD_BLOCK", "4096"))
 
 
 def _coeff_pe_call(kernel_factory, scalar_args, tables, g: int, n_raws: int):
@@ -575,7 +603,7 @@ def _coeff_pe_call(kernel_factory, scalar_args, tables, g: int, n_raws: int):
     lanes [g*n, (g+1)*n)); scalar_args are (16, G) per-group values routed
     by block index; accumulator output (G, 4, 64, 32*NR)."""
     total = tables[0].shape[-1]
-    b, bpg, npb = _coeff_geometry(total, g)
+    b, bpg, npb = _coeff_geometry(total, g, _pe_block())
 
     def bot(i):
         return (0, (i // bpg) * npb + (i % bpg))
@@ -624,6 +652,202 @@ def identity_coeff_acc(eq, x0, g: int):
     return _coeff_pe_call(_identity_coeff_kernel, [], [eq, x0], g, 2)
 
 
+def _digits64_bf16(t):
+    """(32, B) lazy 17-bit columns of a deferred (un-REDCed) product ->
+    (64, B) bf16 digits, rows [low bytes; high bytes] (positions 0,2..62 |
+    1,3..63). The 17th bit of column k folds into the low byte of column
+    k+1 (same position), so digits are <= 256 — still exact in bf16."""
+    d2 = t >> 16
+    d0 = (t & jnp.uint32(0xFF)) + fc._shift_rows(d2, 1)
+    d1 = (t >> 8) & jnp.uint32(0xFF)
+    d = jnp.concatenate([d0, d1], axis=0)
+    return d.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _cipher_raws_lazy(x0b, x0t, x1b, x1t, ark, m1, m2):
+    """The 8 raw vectors u^(7-k) v^k of the cipher gate on the t-line,
+    returned UN-REDUCED (32 lazy columns each): 9 full Montgomery muls
+    (5 squares + 4 muls, sharing the w = u*v chain) + 8 reduction-free
+    final products whose REDC defers past the linear eq-weighted
+    contraction (fieldcore.mul_mxu_lazy) — 17 products total vs the
+    26-full-mul direct chain."""
+    u = fc.add(fc.add(x0b, x1b), ark)
+    s_top = fc.add(fc.add(x0t, x1t), ark)
+    v = fc.sub(s_top, u)
+    u2 = fc.square_mxu(u, m1, m2)
+    u3 = fc.mul_mxu(u2, u, m1, m2)
+    u6 = fc.square_mxu(u3, m1, m2)
+    v2 = fc.square_mxu(v, m1, m2)
+    v3 = fc.mul_mxu(v2, v, m1, m2)
+    v6 = fc.square_mxu(v3, m1, m2)
+    w = fc.mul_mxu(u, v, m1, m2)
+    w2 = fc.square_mxu(w, m1, m2)
+    w3 = fc.mul_mxu(w, w2, m1, m2)
+    return [
+        fc.mul_mxu_lazy(u6, u),  # u^7
+        fc.mul_mxu_lazy(u6, v),  # u^6 v
+        fc.mul_mxu_lazy(w2, u3),  # u^5 v^2
+        fc.mul_mxu_lazy(w3, u),  # u^4 v^3
+        fc.mul_mxu_lazy(w3, v),  # u^3 v^4
+        fc.mul_mxu_lazy(w2, v3),  # u^2 v^5
+        fc.mul_mxu_lazy(v6, u),  # u v^6
+        fc.mul_mxu_lazy(v6, v),  # v^7
+    ]
+
+
+def _cipher_gruen_kernel(bpg: int):
+    """Gruen-factored cipher round: the eq polynomial's current variable is
+    factored out symbolically (P(t) = c*eq1(q_k,t)*Q(t)), so the kernel
+    contracts the raws against ONE weight vector — the challenge-free
+    suffix eq table S — instead of (e, de), and S is never folded."""
+
+    def kern(m1_ref, m2_ref, ark_ref, s_ref, x0b_ref, x0t_ref, x1b_ref,
+             x1t_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i % bpg == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        m1, m2 = m1_ref[:], m2_ref[:]
+        ark = _group_col(ark_ref, i // bpg)
+        raws = _cipher_raws_lazy(
+            x0b_ref[:], x0t_ref[:], x1b_ref[:], x1t_ref[:], ark, m1, m2
+        )
+        wd = _digits8_bf16(s_ref[:])  # (32, b)
+        rd = jnp.concatenate([_digits64_bf16(t) for t in raws], axis=0)
+        b = wd.shape[-1]
+        acc = None
+        for c in range(b // _MXU_CHUNK):
+            sl = slice(c * _MXU_CHUNK, (c + 1) * _MXU_CHUNK)
+            part = jax.lax.dot_general(
+                wd[:, sl],
+                rd[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (32, 512) f32 exact (chunk sums < 2**23)
+            p32 = part.astype(jnp.int32).astype(jnp.uint32)
+            acc = p32 if acc is None else acc + p32
+        o_ref[0, 0] += acc & jnp.uint32(0xFF)
+        o_ref[0, 1] += (acc >> 8) & jnp.uint32(0xFF)
+        o_ref[0, 2] += (acc >> 16) & jnp.uint32(0xFF)
+        o_ref[0, 3] += acc >> 24
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(4,))
+def cipher_gruen_acc(s, x0, x1, ark, g: int):
+    """Gruen cipher round accumulator: s (16, G*mid) suffix eq weights
+    (mid = n/2), x0/x1 (16, G*n) group-major, ark (16, G) ->
+    (G, 4, 32, 512) piece accumulators of <S, raw_k> (k = 0..7, raws in
+    deferred double-width form; finish with finish_gruen_acc)."""
+    total = x0.shape[-1]
+    b, bpg, npb = _coeff_geometry(total, g, _pe_block())
+
+    def bot(i):
+        return (0, (i // bpg) * npb + (i % bpg))
+
+    def top(i):
+        return (0, (i // bpg) * npb + (i % bpg) + bpg)
+
+    def sblk(i):
+        return (0, i)
+
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, b), sblk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+        pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(fc.REDC_M1),
+        jnp.asarray(fc.REDC_M2),
+        jnp.zeros((L, 128), dtype=jnp.uint32).at[:, : ark.shape[1]].set(ark),
+        s,
+        x0,
+        x0,
+        x1,
+        x1,
+    ]
+    return pl.pallas_call(
+        _cipher_gruen_kernel(bpg),
+        out_shape=jax.ShapeDtypeStruct((g, 4, 32, 512), jnp.uint32),
+        grid=(g * bpg,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 4, 32, 512), lambda i: (i // bpg, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(*args)
+
+
+_DIGIT_NAT64 = np.argsort(
+    np.array([2 * i for i in range(32)] + [2 * i + 1 for i in range(32)])
+)
+
+
+@lru_cache(maxsize=None)
+def _binom_r2_np(degree: int):
+    """C(degree, k) * R^2 mod p as limb columns: the Montgomery correction
+    for the deferred-REDC path (weighted sums carry R^3; three wide REDC
+    passes leave the plain value; one Montgomery mul by C*R^2 nets the
+    binomial-scaled Montgomery form)."""
+    import math
+
+    from ..fields.bn254 import int_to_limbs, R1, P as _P
+
+    r2 = R1 * R1 % _P
+    cs = [math.comb(degree, k) for k in range(degree + 1)]
+    out = np.zeros((L, len(cs)), dtype=np.uint32)
+    for i, v in enumerate(cs):
+        out[:, i] = int_to_limbs(v * r2 % _P)
+    return out
+
+
+@jax.jit
+def finish_gruen_acc(acc):
+    """(G, 4, 32, 512) piece accumulators -> (16, 8, G) Q-polynomial
+    coefficients Q_m = C(7,m) * <S, raw_m> in Montgomery lazy form."""
+    g = acc.shape[0]
+    nat32 = jnp.asarray(_DIGIT_NAT)
+    nat64 = jnp.asarray(_DIGIT_NAT64)
+    a = acc.reshape(g, 4, 32, 8, 64)
+    a = jnp.take(a, nat32, axis=2)  # S byte positions 0..31 in order
+    a = jnp.take(a, nat64, axis=4)  # raw byte positions 0..63 in order
+    planes = jnp.transpose(a, (2, 4, 0, 1, 3))  # (32, 64, G, 4, 8)
+    lo = fr._skew_cols_k(planes[:, :32])  # (64, G, 4, 8): cols e+f
+    hi = fr._skew_cols_k(planes[:, 32:])  # cols e+f (true col e+f+32)
+    ext = jnp.zeros((32,) + lo.shape[1:], dtype=jnp.uint32)
+    cols8 = jnp.concatenate([lo, ext], axis=0) + jnp.concatenate(
+        [ext, hi], axis=0
+    )  # (96, G, 4, 8) byte columns < 2**25
+    # piece p shifts the byte position by p
+    padded = jnp.concatenate(
+        [cols8, jnp.zeros((4,) + cols8.shape[1:], dtype=jnp.uint32)], axis=0
+    )  # (100, G, 4, 8)
+    total8 = jnp.zeros((100, g, 8), dtype=jnp.uint32)
+    for p in range(4):
+        shifted = jnp.concatenate(
+            [
+                jnp.zeros((p, g, 8), dtype=jnp.uint32),
+                padded[: 100 - p, :, p],
+            ],
+            axis=0,
+        )
+        total8 = total8 + shifted  # < 2**27
+    total8 = fr._carry_norm(total8, 27, width=8)  # exact 8-bit digits
+    c16 = total8[0::2] + (total8[1::2] << 8)  # (50, G, 8) < 2**16
+    plain = fr.redc_wide_plain3(c16)  # (16, G, 8) plain-form values
+    cm = jnp.asarray(_binom_r2_np(7))[:, None, :]  # (16, 1, 8)
+    q = fr.mul(plain, cm)  # Montgomery lazy
+    return jnp.swapaxes(q, 1, 2)  # (16, 8, G)
+
+
 def _fold_kernel_gm(nt: int, bpg: int):
     def kern(m1_ref, m2_ref, r_ref, *refs):
         i = pl.program_id(0)
@@ -644,7 +868,7 @@ def fold_tables_gm(tables, r, nt: int, g: int):
     """Group-major fold with the MXU-REDC multiply: tables (16, G*n), r
     (16, G) -> [(16, G*n/2)]. G=1 is the single-instance fold."""
     total = tables[0].shape[-1]
-    b, bpg, npb = _coeff_geometry(total, g)
+    b, bpg, npb = _coeff_geometry(total, g, _fold_block())
     mid_total = total // 2
 
     def bot(i):
@@ -686,9 +910,6 @@ def fold_tables_gm(tables, r, nt: int, g: int):
         out_specs=out_specs,
     )(*args)
     return list(outs)
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=None)

@@ -177,10 +177,17 @@ def _round_fn(gate: Gate, n_tables: int, mesh: Mesh, donate: bool = False):
     donate (outputs are half-size — no aliasing is possible; see
     sumcheck.prover._round_jit)."""
     donate = False
-    key = (gate, n_tables, mesh, donate)
+    # advisor r3: include the GKR_COEFF_PE toggle in the cache key so the
+    # sharded prover honors the same A/B knob as the single-chip path
+    from ..sumcheck.prover import _coeff_pe_enabled
+
+    use_coeff = _coeff_pe_enabled()
+    key = (gate, n_tables, mesh, donate, use_coeff)
     f = _ROUND_CACHE.get(key)
     if f is None:
         kind = _pallas_gate_kind(gate, [None] * n_tables)
+        if not use_coeff:
+            kind = None
 
         def body(gate_params, eq_b, *xs_blocks):
             eq = eq_b.reshape(fr.L, -1)
@@ -307,7 +314,11 @@ def assign_sharded_mimc(block_sh, state_sh):
     from ..models.mimc import MIMC_ROUNDS, _arks_cols, _assign_fused_jit
 
     mesh = getattr(block_sh.sharding, "mesh", None)
-    local = block_sh.shape[-1] // (mesh.shape[AXIS] if mesh is not None else 1)
+    # block_sh global shape is (16, D, M) with axis 1 sharded: shape[-1]
+    # is already the per-device lane count (advisor r3: dividing by D again
+    # disabled the fused witness kernel until M >= 512*D)
+    assert block_sh.ndim == 3, block_sh.shape
+    local = block_sh.shape[-1]
     if K.pallas_enabled() and mesh is not None and local >= 512:
         key = (mesh, block_sh.shape)
         f = _WITNESS_CACHE.get(key)

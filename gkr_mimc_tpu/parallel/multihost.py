@@ -53,7 +53,12 @@ def initialize(coordinator_address: str | None = None,
     try:
         from jax._src import distributed as _dist
 
-        if getattr(_dist.global_state, "client", None) is not None:
+        # pinned against jax 0.9.0's layout; verified by hasattr so a
+        # private-API rename degrades to the RuntimeError fallback below
+        # instead of silently skipping the guard (advisor r3)
+        if hasattr(_dist, "global_state") and getattr(
+            _dist.global_state, "client", None
+        ) is not None:
             return  # already initialized
     except Exception:  # pragma: no cover - private-API drift
         pass
@@ -69,6 +74,8 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
+        if "already initialized" in str(e).lower():
+            return  # no-op, same as the private-API fast path above
         if explicit:
             raise RuntimeError(
                 "jax.distributed bring-up failed for an explicitly requested "

@@ -241,6 +241,145 @@ def _coeff_pe_enabled() -> bool:
     return os.environ.get("GKR_COEFF_PE", "1") == "1"
 
 
+def _gruen_enabled() -> bool:
+    import os
+
+    return os.environ.get("GKR_GRUEN", "1") == "1"
+
+
+# --------------------------------------------------------------------------
+# Gruen-factored rounds (single-claim cipher layers).
+#
+# eq(q, (r_<k, t, y)) = c_k * eq1(q_k, t) * S_k[y] with c_k = eq(q_<k, r_<k)
+# and S_k the eq table over the TRAILING variables only — which depends on
+# q alone, never on challenges. So the per-round kernel contracts against
+# one challenge-free weight table (half the weighted-acc work, no d_eq),
+# the eq table is never folded (only x0/x1 fold — 2 tables instead of 3),
+# and the whole suffix-table chain costs HALF the old eq build. The round
+# coefficients P_m = c_k * [(1-q_k) Q_m + (2q_k-1) Q_{m-1}] are the exact
+# same field values as the direct path (same polynomial, exact arithmetic),
+# so transcripts are bit-identical (asserted by tests/test_hotpath.py).
+# --------------------------------------------------------------------------
+
+
+def _qk_scalar(q, k):
+    """q (bn, 16) -> (16,); grouped q (bn, G, 16) -> (16, G)."""
+    qk = q[k]
+    return qk if qk.ndim == 1 else jnp.moveaxis(qk, -1, 0)
+
+
+def _suffix_tables(q, n_head: int):
+    """[T_0 .. T_{n_head-1}]: T_k is the eq table over variables
+    x_{k+1}..x_{bn-1} (MSB first), size 2**(bn-1-k); T_{n_head-1} doubles
+    as the tail bridge. Built by prepending variables back to front —
+    total work 2**(bn-1) muls, half the full-table build."""
+    from ..ops import kernels as K
+
+    bn = q.shape[0]
+    grouped = q.ndim == 3
+    g = q.shape[1] if grouped else None
+    t = (fr.one((g,)) if grouped else fr.one(()))[..., None]
+    out = {}
+    use_pallas = K.pallas_enabled()
+    for j in range(bn - 1, 0, -1):
+        qj = _qk_scalar(q, j)[..., None]  # (16,[G,]1)
+        if use_pallas and not grouped and t.shape[-1] >= 512:
+            qt = K.mul_scalar(t, qj[..., 0])
+        else:
+            qt = fr.mul(t, qj)
+        t = jnp.concatenate([fr.sub(t, qt), qt], axis=-1)
+        if j - 1 < n_head:
+            out[j - 1] = t
+    return [out[k] for k in range(n_head)]
+
+
+def _eq1_at(qk, r):
+    """eq1(q, r) = 1 - q - r + 2qr, elementwise on (16,[G])."""
+    one = fr.one(qk.shape[1:])
+    t = fr.mul(qk, r)
+    return fr.add(fr.sub(fr.sub(one, qk), r), fr.add(t, t))
+
+
+def _gruen_combine(qcoeffs, qk, ck):
+    """Q (16, 8[, G]) -> P (16, 9[, G]): P_m = ck*(alpha Q_m + beta Q_{m-1})
+    with alpha = 1 - q_k, beta = 2 q_k - 1."""
+    one = fr.one(qk.shape[1:])
+    alpha = fr.sub(one, qk)
+    beta = fr.sub(fr.add(qk, qk), one)
+    aq = fr.mul(qcoeffs, alpha[:, None])
+    bq = fr.mul(qcoeffs, beta[:, None])
+    zero = jnp.zeros_like(qcoeffs[:, :1])
+    p = fr.add(
+        jnp.concatenate([aq, zero], axis=1),
+        jnp.concatenate([zero, bq], axis=1),
+    )
+    return fr.mul(p, ck[:, None])
+
+
+def _prove_gruen_body(gate: Gate, gate_params, xs, qprimes, claims):
+    """Whole-layer Gruen program for a single-claim cipher sumcheck:
+    suffix-table build + factored head rounds + the standard masked tail
+    (bridged with eq_tail = c_K * T_{K-1})."""
+    from ..ops import kernels as K
+
+    del claims  # single-claim: the RLC is skipped (transcript parity)
+    grouped = qprimes.ndim == 4
+    bn = qprimes.shape[1]
+    q = qprimes[0]  # (bn,[G,]16)
+    g = q.shape[1] if grouped else 1
+    n_head = bn - _tail_bits()
+    suffix = _suffix_tables(q, n_head)
+
+    n_evals = gate.degree + 2
+    ark = jnp.broadcast_to(gate_params[0].reshape(fr.L, 1), (fr.L, g))
+    ck = fr.one((g,) if grouped else ())
+    x0 = xs[0].reshape(fr.L, -1)
+    x1 = xs[1].reshape(fr.L, -1)
+
+    head_coeffs, head_rs = [], []
+    for k in range(n_head):
+        s_flat = suffix[k].reshape(fr.L, -1)
+        qk = _qk_scalar(q, k)
+        acc = K.cipher_gruen_acc(s_flat, x0, x1, ark, g)
+        qc = K.finish_gruen_acc(acc)  # (16, 8, G)
+        qc = qc if grouped else qc[..., 0]
+        coeffs = _gruen_combine(qc, qk, ck)
+        r = mimc_hash_device(coeffs)
+        x0, x1 = K.fold_tables_gm([x0, x1], r, 2, g)
+        ck = fr.mul(ck, _eq1_at(qk, r))
+        head_coeffs.append(coeffs)
+        head_rs.append(r)
+
+    # bridge to the generic masked tail: the remaining eq table is the
+    # scalar c_K times the last suffix table
+    bridge = suffix[n_head - 1]
+    eq_tail = fr.mul(bridge, ck[..., None])
+    shape_tail = (fr.L, g, -1) if grouped else (fr.L, -1)
+    xs_tail = [x0.reshape(shape_tail), x1.reshape(shape_tail)]
+    tail_coeffs, tail_rs, final_claims = _tail_body(
+        gate, gate_params, eq_tail, xs_tail
+    )
+    return _package_jit(
+        len(head_coeffs), n_evals, tuple(head_coeffs), tuple(head_rs),
+        tail_coeffs, tail_rs, final_claims,
+    )
+
+
+_prove_gruen_jit = partial(jax.jit, static_argnums=(0,))(_prove_gruen_body)
+
+
+def _gruen_applies(gate: Gate, xs, qprimes) -> bool:
+    """Gruen path: single-claim cipher layers on the Pallas backend with at
+    least one head round."""
+    return (
+        _pallas_gate_kind(gate, list(xs)) == "cipher"
+        and qprimes.shape[0] == 1
+        and qprimes.shape[1] > _tail_bits()
+        and _coeff_pe_enabled()
+        and _gruen_enabled()
+    )
+
+
 def _round_step_coeff(kind, gate, gate_params, eq, xs, grouped):
     """Coefficient-form round (ops/kernels.py cipher_coeff_acc): the MXU
     computes the eq-weighted hypercube sums; the proof coefficients come
@@ -469,6 +608,8 @@ def _use_monolith() -> bool:
 def _prove_rounds(gate: Gate, gate_params, xs, qprimes, claims):
     """Round orchestration: per-size jitted head rounds + one masked-scan
     tail program. All dispatches are async — no host syncs in the chain."""
+    if _gruen_applies(gate, xs, qprimes):
+        return _prove_gruen_jit(gate, gate_params, tuple(xs), qprimes, claims)
     if _use_monolith():
         return _prove_jit(gate, gate_params, tuple(xs), qprimes, claims)
     bn = qprimes.shape[1]

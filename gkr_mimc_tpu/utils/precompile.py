@@ -87,15 +87,25 @@ def enumerate_jobs(circuit, bn: int, include_verify: bool = True,
         for gate, n_tab, j_q, j_c in _walk_classes(circuit, bn):
             p_sds = _gate_param_sds(gate)
             xs = tuple(tbl(n) for _ in range(n_tab))
-            lower(
-                f"monolith[{gate.name},J={j_q},{j_c}]",
-                sp._prove_jit,
-                gate,
-                p_sds,
-                xs,
-                _sds((j_q, bn) + gdims + (fr.L,)),
-                _sds((fr.L, j_c) + gdims),
+            q_sds = _sds((j_q, bn) + gdims + (fr.L,))
+            c_sds = _sds((fr.L, j_c) + gdims)
+            gruen = (
+                sp._pallas_gate_kind(gate, [None] * n_tab) == "cipher"
+                and j_q == 1
+                and bn > tb
+                and sp._coeff_pe_enabled()
+                and sp._gruen_enabled()
             )
+            if gruen:
+                lower(
+                    f"gruen[{gate.name},J={j_q},{j_c}]",
+                    sp._prove_gruen_jit, gate, p_sds, xs, q_sds, c_sds,
+                )
+            else:
+                lower(
+                    f"monolith[{gate.name},J={j_q},{j_c}]",
+                    sp._prove_jit, gate, p_sds, xs, q_sds, c_sds,
+                )
         if include_verify and not gdims:
             _enum_verify(circuit, bn, lower, _sds)
         return jobs

@@ -17,11 +17,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gkr_mimc_tpu_jax_cache")
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the axon sitecustomize clobbers the env var; force via config
     jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from gkr_mimc_tpu.gadget import incircuit
 from gkr_mimc_tpu.gadget.incircuit import GadgetCircuit, setup
