@@ -76,11 +76,25 @@ def _gen_input_jit(n: int, offset):
     return fr.to_mont(random_fr_device(n, jnp.uint32(offset)))
 
 
+_concat_last = jax.jit(lambda *xs: jnp.concatenate(xs, axis=-1))
+
+# to_mont's portable mul materializes (16, 16, n) outer-product planes —
+# ~16x the table size — so one fused gen program above 2^20 elements
+# overflows HBM (observed: G=4 x bn=20 OOM at generation). Chunk the
+# stream instead; values are identical (the generator is index-based).
+GEN_CHUNK = 1 << 20
+
+
 def _gen_input(n: int, offset: int):
     # validate BEFORE the int -> traced-uint32 conversion: a wrapped index
     # would silently diverge from the host generator (advisor r3)
     assert offset + n <= (1 << 32), (offset, n)
-    return _gen_input_jit(n, offset)
+    if n <= GEN_CHUNK:
+        return _gen_input_jit(n, offset)
+    parts = [
+        _gen_input_jit(GEN_CHUNK, offset + i) for i in range(0, n, GEN_CHUNK)
+    ]
+    return _concat_last(*parts)
 
 
 def measure_fs_hash_ms(reps: int = 20) -> float:
@@ -215,8 +229,14 @@ def bench_grouped(bn: int, group: int, verify: bool):
     log(f"# precompile(grouped): {n_ok} programs ({len(fails)} failed) in "
         f"{time.time()-t0:.1f}s")
 
-    block = _gen_input(group * n, 0).reshape(fr.L, group, n)
-    state = _gen_input(group * n, 1).reshape(fr.L, group, n)
+    # per-lane generation (lane g = stream offsets [g*n, (g+1)*n) for the
+    # block, [(G+g)*n, ...) for the state): one (16, n) program per lane
+    # keeps the to_mont intermediates bounded (see GEN_CHUNK)
+    _stack_lanes = jax.jit(lambda *xs: jnp.stack(xs, axis=1))
+    block = _stack_lanes(*[_gen_input(n, g * n) for g in range(group)])
+    state = _stack_lanes(
+        *[_gen_input(n, (group + g) * n) for g in range(group)]
+    )
     import numpy as _np
     _np.asarray(jax.device_get(block[:, :1, :1]))  # warm the transfer path
 

@@ -10,7 +10,27 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gkr_mimc_tpu_jax_cache")
+# Scope the CPU cache per machine: XLA:CPU cache entries embed AOT host
+# code, and the cache key does NOT cover the exact CPU feature set — an
+# entry written on a different box loads with "could lead to execution
+# errors such as SIGILL" warnings and intermittently crashes mid-suite
+# (the round-3 "poisoned cache" segfaults). TPU entries are unaffected
+# (bench.py keeps the shared dir; TPU code runs on the TPU).
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (l for l in f if l.startswith("flags")), platform.processor()
+            )
+    except OSError:  # pragma: no cover - non-linux
+        flags = platform.processor()
+    tag = hashlib.sha256(str(flags).encode()).hexdigest()[:12]
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = (
+        f"/tmp/gkr_mimc_tpu_jax_cache_cpu_{tag}"
+    )
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
