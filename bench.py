@@ -97,11 +97,12 @@ def _gen_input(n: int, offset: int):
     return _concat_last(*parts)
 
 
-def measure_fs_hash_ms(reps: int = 20) -> float:
+def measure_fs_hash_ms(reps: int = 40) -> float:
     """MEASURED per-hash Fiat-Shamir latency: a chain of `reps` dependent
     9-word transcript hashes inside one jit (exactly how the prover's
-    round loop consumes them). The roofline below uses this instead of a
-    hardcoded constant so the printed compute-bound gap stays honest."""
+    round loop consumes them), with the tunnel round-trip (the fixed cost
+    of the final device->host fetch, ~30 ms on axon) measured separately
+    and subtracted — at 20 reps it inflated the per-hash figure ~2.5x."""
     import numpy as _np
 
     from gkr_mimc_tpu.hashes.mimc import mimc_hash_device
@@ -119,9 +120,16 @@ def measure_fs_hash_ms(reps: int = 20) -> float:
 
     _np.asarray(jax.device_get(chain(msgs)))
     t0 = time.time()
-    out = chain(msgs)
-    _np.asarray(jax.device_get(out))
-    return (time.time() - t0) / reps * 1e3
+    for _ in range(3):
+        _np.asarray(jax.device_get(chain(msgs)[:1]))
+    rt = jnp.zeros((1,), jnp.uint32) + jnp.uint32(1)
+    t_mid = time.time()
+    for _ in range(3):
+        _np.asarray(jax.device_get(rt))
+    t_end = time.time()
+    round_trip = (t_end - t_mid) / 3
+    per_chain = (t_mid - t0) / 3 - round_trip
+    return max(per_chain, 0.0) / reps * 1e3
 
 
 def report_layer_roofline(bn: int):
@@ -158,11 +166,19 @@ def report_layer_roofline(bn: int):
 
     _np.asarray(jax.device_get(layer()))  # warm
     t0 = time.time()
-    reps = 3
+    reps = 6
     for _ in range(reps):
         out = layer()
     _np.asarray(jax.device_get(out))
-    per_layer_ms = (time.time() - t0) / reps * 1e3
+    wall = time.time() - t0
+    # subtract the fixed device->host round trip (~30 ms on the axon
+    # tunnel) the final fetch pays — at 3 reps it inflated per-layer ~10ms
+    rt_probe = jnp.zeros((1,), jnp.uint32) + jnp.uint32(1)
+    t1 = time.time()
+    for _ in range(3):
+        _np.asarray(jax.device_get(rt_probe))
+    round_trip = (time.time() - t1) / 3
+    per_layer_ms = max(wall - round_trip, 0.0) / reps * 1e3
     # reads S (n/2) + x0 + x1 (2n), writes folded x0+x1 (n); halving rounds
     # sum to ~2x round 1
     bytes_moved = 2 * (3.5 + 1) * (n // 2) * 64

@@ -83,6 +83,17 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
         _empty_claims_g(qprime.shape[1]) if grouped else _empty_claims()
     )
 
+    # GKR_TRACE_LAYERS=1: force after every layer and print per-layer ms
+    # (diagnostic only — serializing the async pipeline inflates totals)
+    import os as _os
+
+    trace = _os.environ.get("GKR_TRACE_LAYERS") == "1"
+    if trace:
+        import sys as _sys
+        import time as _time
+
+        import numpy as _np
+
     for layer in range(nlayers - 1, -1, -1):
         if circuit.is_input_layer(layer):
             break
@@ -96,9 +107,21 @@ def prove(circuit: Circuit, assignment: list, qprime) -> GKRProof:
             qprimes_out[layer] = qprimes
             claims_out[layer] = claim_rows
 
+        if trace:
+            t0 = _time.perf_counter()
         xs = [assignment[j] for j in circuit[layer].in_]
+        if trace:
+            _np.asarray(jax.device_get(xs[-1][:1, ..., :1]))
+            t1 = _time.perf_counter()
         scp = sumcheck_prover.prove(xs, qprimes, claims, circuit[layer].gate)
         proofs[layer] = scp
+        if trace:
+            _np.asarray(jax.device_get(scp.challenges[:1]))
+            print(
+                f"# layer {layer}: inputs {1e3*(t1-t0):.1f} ms + "
+                f"sumcheck {1e3*(_time.perf_counter()-t1):.1f} ms",
+                file=_sys.stderr, flush=True,
+            )
 
         next_qprime = scp.challenges  # (bn, 16)
         for i, inp in enumerate(circuit[layer].in_):

@@ -355,12 +355,9 @@ def _mul_mxu_product(a, b, square: bool = False):
     return t_lo, t_hi
 
 
-def mul_mxu(a, b, m1, m2, square: bool = False):
-    """REDC(a*b) with the constant products on the MXU: (16, B) x (16, B)
-    -> (16, B) lazy reps. m1/m2 are REDC_M1/REDC_M2 passed in as kernel
-    inputs (Mosaic kernels cannot capture constant arrays)."""
-    t_lo, t_hi = _mul_mxu_product(a, b, square=square)
-
+def _redc_from_t(t_lo, t_hi, m1, m2):
+    """The REDC stage shared by mul_mxu / mul_mxu_band: lazy 17-bit column
+    halves (t_lo, t_hi) of T = a*b -> (16, B) lazy Montgomery reps."""
     # digits of T_lo in the permuted basis; mask digit 31 (mod R)
     dlo = t_lo & jnp.uint32(0xFF)
     dhi = t_lo >> 8
@@ -380,6 +377,75 @@ def mul_mxu(a, b, m1, m2, square: bool = False):
     c16 = mp_e + (mp_o << 8)  # (32, B) 16-bit-basis cols < 2**32 - eps
     hi_cols = _add_row0(c16[L:] + t_hi, o3)
     return carry_rows(hi_cols, 32)
+
+
+def mul_mxu(a, b, m1, m2, square: bool = False):
+    """REDC(a*b) with the constant products on the MXU: (16, B) x (16, B)
+    -> (16, B) lazy reps. m1/m2 are REDC_M1/REDC_M2 passed in as kernel
+    inputs (Mosaic kernels cannot capture constant arrays)."""
+    t_lo, t_hi = _mul_mxu_product(a, b, square=square)
+    return _redc_from_t(t_lo, t_hi, m1, m2)
+
+
+# ---------------------------------------------------------------------------
+# Banded-SCALAR multiply: the whole schoolbook on the MXU
+# ---------------------------------------------------------------------------
+#
+# When b is a per-block scalar (the fold challenge r, a suffix-table q_j),
+# the product T = a*b is itself a constant-matrix contraction: in the 8-bit
+# digit basis, T8[pos] = sum_j digit_j(a) * digit_{pos-j}(b) — a (64, 32)
+# "band matrix" of b's digits times the digit vector of a. The band is
+# built OUTSIDE the kernel from the challenge (band_from_scalar) and passed
+# in; entries < 2**8 and digits(a) < 2**8 keep every f32 product and the
+# 32-term accumulation (< 2**21) exact. Rows are ordered [even positions;
+# odd positions] (the REDC_M2 convention) so the 16-bit recombination is
+# two static slices. This removes the ~16-plane VPU schoolbook from the
+# fold kernel entirely — the remaining VPU work is digit extraction,
+# shrink passes, and the shared REDC tail.
+
+# digit ordering of the in-kernel digit vector (row j carries position
+# perm[j]): lo bytes of limbs 0..15, then hi bytes
+_BAND_PERM = np.array(
+    [2 * i for i in range(L)] + [2 * i + 1 for i in range(L)]
+)
+# row -> product digit position, even positions first (REDC_M2 convention)
+_BAND_POS = np.array([2 * r for r in range(32)] + [2 * r + 1 for r in range(32)])
+_BAND_IDX = _BAND_POS[:, None] - _BAND_PERM[None, :]  # (64, 32)
+_BAND_VALID = (0 <= _BAND_IDX) & (_BAND_IDX < 32)
+_BAND_IDX_SAFE = np.where(_BAND_VALID, _BAND_IDX, 0)
+
+
+def band_from_scalar(r):
+    """(16,[G]) u32 16-bit-limb scalar(s) -> ([G,] 64, 32) f32 band matrix
+    for mul_mxu_band. Plain XLA (runs OUTSIDE kernels, once per scalar)."""
+    dn = jnp.stack([r & jnp.uint32(0xFF), r >> 8], axis=1).reshape(
+        (2 * L,) + r.shape[1:]
+    )  # natural digit order: dn[2i] = lo_i, dn[2i+1] = hi_i
+    band = jnp.where(
+        jnp.asarray(_BAND_VALID)[..., None] if r.ndim == 2 else jnp.asarray(_BAND_VALID),
+        dn[jnp.asarray(_BAND_IDX_SAFE)],
+        0,
+    )  # (64, 32[, G])
+    band = band.astype(jnp.int32).astype(jnp.float32)
+    if r.ndim == 2:
+        band = jnp.moveaxis(band, -1, 0)  # (G, 64, 32)
+    return band
+
+
+def mul_mxu_band(a, band, m1, m2):
+    """REDC(a * b) where b is the scalar encoded in `band` (64, 32) f32:
+    one MXU matmul replaces the VPU schoolbook. `a` must have exact 16-bit
+    limbs (carry_rows output — holds for all fold/suffix inputs)."""
+    dlo = a & jnp.uint32(0xFF)
+    dhi = a >> 8
+    digits = jnp.concatenate([dlo, dhi], axis=0)  # (32, B) rows perm order
+    t8 = _mxu_dot(band, _f32(digits))  # (64, B) f32 exact, < 2**21
+    c16_e = _u32(t8[:32])
+    c16_o = _u32(t8[32:])
+    c16 = c16_e + (c16_o << 8)  # (32, B) 16-bit-basis columns < 2**22
+    t_lo, o1 = shrink_rows(c16[:L], 22, with_over=True)
+    t_hi = shrink_rows(_add_row0(c16[L:], o1), 22)
+    return _redc_from_t(t_lo, t_hi, m1, m2)
 
 
 def mul_mxu_lazy(a, b, square: bool = False):

@@ -912,6 +912,128 @@ def fold_tables_gm(tables, r, nt: int, g: int):
     return list(outs)
 
 
+def _fold_kernel_band(nt: int, bpg: int):
+    """Fold with the banded-scalar MXU multiply (fieldcore.mul_mxu_band):
+    the challenge's schoolbook rides the MXU as a (64, 32) band matrix, so
+    the per-element VPU work drops to digit extraction + the REDC tail."""
+
+    def kern(m1_ref, m2_ref, band_ref, *refs):
+        i = pl.program_id(0)
+        m1, m2 = m1_ref[:], m2_ref[:]
+        band = band_ref[0]  # (64, 32) f32 for this block's group
+        for k in range(nt):
+            bot = refs[2 * k][:]
+            top = refs[2 * k + 1][:]
+            refs[2 * nt + k][:] = fc.add(
+                bot, fc.mul_mxu_band(fc.sub(top, bot), band, m1, m2)
+            )
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def fold_tables_band(tables, r, nt: int, g: int):
+    """fold_tables_gm with the banded-scalar multiply — value-identical
+    (same exact product, same REDC), ~3x fewer VPU ops per element."""
+    total = tables[0].shape[-1]
+    b, bpg, npb = _coeff_geometry(total, g, _fold_block())
+    mid_total = total // 2
+
+    def bot(i):
+        return (0, (i // bpg) * npb + (i % bpg))
+
+    def top(i):
+        return (0, (i // bpg) * npb + (i % bpg) + bpg)
+
+    band = fc.band_from_scalar(r.reshape(L, -1)).reshape(g, 64, 32)
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((64, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 64, 32), lambda i: (i // bpg, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    args = [jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), band]
+    for t in tables:
+        in_specs += [
+            pl.BlockSpec((L, b), bot, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), top, memory_space=pltpu.VMEM),
+        ]
+        args += [t, t]
+    out_shapes = [
+        jax.ShapeDtypeStruct((L, mid_total), jnp.uint32) for _ in tables
+    ]
+    out_specs = [
+        pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in tables
+    ]
+    outs = pl.pallas_call(
+        _fold_kernel_band(nt, bpg),
+        out_shape=out_shapes,
+        grid=(g * bpg,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )(*args)
+    return list(outs)
+
+
+def fold_band_enabled() -> bool:
+    return os.environ.get("GKR_FOLD_BAND", "1") == "1"
+
+
+def _suffix_band_kernel(bpg: int):
+    """One suffix-doubling step: out = [t - q*t ; q*t] with the banded-
+    scalar multiply; writes both halves of the doubled table directly."""
+
+    def kern(m1_ref, m2_ref, band_ref, t_ref, lo_ref, hi_ref):
+        m1, m2 = m1_ref[:], m2_ref[:]
+        band = band_ref[0]
+        t = t_ref[:]
+        qt = fc.mul_mxu_band(t, band, m1, m2)
+        lo_ref[:] = fc.sub(t, qt)
+        hi_ref[:] = qt
+
+    return kern
+
+
+@partial(jax.jit, static_argnums=(2,))
+def suffix_step_band(t, q, g: int):
+    """Suffix-table doubling with the banded-scalar MXU multiply:
+    t (16, G*m) group-major, q (16, G) -> (16, G*2m) group-major
+    [t - q*t ; q*t] per group. Value-identical to the portable step."""
+    total = t.shape[-1]
+    m = total // g
+    b = min(_fold_block(), m)
+    bpg = m // b
+
+    band = fc.band_from_scalar(q.reshape(L, -1)).reshape(g, 64, 32)
+    outs = pl.pallas_call(
+        _suffix_band_kernel(bpg),
+        out_shape=[
+            jax.ShapeDtypeStruct((L, total), jnp.uint32),
+            jax.ShapeDtypeStruct((L, total), jnp.uint32),
+        ],
+        grid=(g * bpg,),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 64, 32), lambda i: (i // bpg, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+    )(jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), band, t)
+    lo, hi = outs
+    # interleave per group: (16, G, m) x2 -> (16, G, 2m) -> (16, G*2m)
+    lo3 = lo.reshape(L, g, m)
+    hi3 = hi.reshape(L, g, m)
+    return jnp.concatenate([lo3, hi3], axis=-1).reshape(L, g * 2 * m)
+
+
 @lru_cache(maxsize=None)
 def _binom_tensor_np(degree: int):
     """C(degree, k) for k = 0..degree as Montgomery limb columns."""

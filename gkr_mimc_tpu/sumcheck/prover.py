@@ -206,6 +206,11 @@ PALLAS_MIN = 512  # smallest table the Pallas round kernels handle
 def _tail_bits() -> int:
     # with Pallas kernels the head rounds are cheap to compile and fast;
     # push the masked tail lower so more rounds run at kernel speed
+    import os
+
+    v = os.environ.get("GKR_TAIL_BITS")
+    if v is not None:
+        return int(v)
     return 8 if K.pallas_enabled() else TAIL_BITS
 
 
@@ -281,13 +286,21 @@ def _suffix_tables(q, n_head: int):
     t = (fr.one((g,)) if grouped else fr.one(()))[..., None]
     out = {}
     use_pallas = K.pallas_enabled()
+    use_band = use_pallas and K.fold_band_enabled()
+    gg = g or 1
     for j in range(bn - 1, 0, -1):
         qj = _qk_scalar(q, j)[..., None]  # (16,[G,]1)
-        if use_pallas and not grouped and t.shape[-1] >= 512:
-            qt = K.mul_scalar(t, qj[..., 0])
+        if use_band and t.shape[-1] >= 512:
+            # banded-scalar doubling (works grouped too: group-major flat)
+            qjg = qj.reshape(fr.L, gg)
+            t = K.suffix_step_band(t.reshape(fr.L, -1), qjg, gg)
+            t = t.reshape((fr.L, g, -1) if grouped else (fr.L, -1))
         else:
-            qt = fr.mul(t, qj)
-        t = jnp.concatenate([fr.sub(t, qt), qt], axis=-1)
+            if use_pallas and not grouped and t.shape[-1] >= 512:
+                qt = K.mul_scalar(t, qj[..., 0])
+            else:
+                qt = fr.mul(t, qj)
+            t = jnp.concatenate([fr.sub(t, qt), qt], axis=-1)
         if j - 1 < n_head:
             out[j - 1] = t
     return [out[k] for k in range(n_head)]
@@ -345,7 +358,8 @@ def _prove_gruen_body(gate: Gate, gate_params, xs, qprimes, claims):
         qc = qc if grouped else qc[..., 0]
         coeffs = _gruen_combine(qc, qk, ck)
         r = mimc_hash_device(coeffs)
-        x0, x1 = K.fold_tables_gm([x0, x1], r, 2, g)
+        fold_f = K.fold_tables_band if K.fold_band_enabled() else K.fold_tables_gm
+        x0, x1 = fold_f([x0, x1], r, 2, g)
         ck = fr.mul(ck, _eq1_at(qk, r))
         head_coeffs.append(coeffs)
         head_rs.append(r)
@@ -397,7 +411,8 @@ def _round_step_coeff(kind, gate, gate_params, eq, xs, grouped):
         coeffs3 = K.finish_coeff_acc(acc, 2, 1)
     coeffs = coeffs3 if grouped else coeffs3[..., 0]
     r = mimc_hash_device(coeffs)
-    folded = K.fold_tables_gm([eqf] + xsf, r, 1 + len(xs), g)
+    fold_f = K.fold_tables_band if K.fold_band_enabled() else K.fold_tables_gm
+    folded = fold_f([eqf] + xsf, r, 1 + len(xs), g)
     if grouped:
         folded = [f.reshape(fr.L, g, -1) for f in folded]
     return folded[0], folded[1:], coeffs, r, None

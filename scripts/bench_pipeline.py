@@ -7,7 +7,7 @@ Usage: python scripts/bench_pipeline.py [log2_n=10]
 
 Prints per-phase wall times, total constraints, constraints-per-hash, and
 the 91*N direct-MiMC baseline the GKR gadget displaces; writes
-PIPELINE_r03.json at the repo root.
+PIPELINE.json at the repo root.
 """
 
 import json
@@ -82,7 +82,7 @@ def main():
         "verify_s": round(t_verify, 2),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "PIPELINE_r03.json"), "w") as f:
+    with open(os.path.join(root, "PIPELINE.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
