@@ -118,14 +118,18 @@ def measure_fs_hash_ms(reps: int = 40) -> float:
             m = jnp.broadcast_to(h[:, None], (16, 9))
         return h
 
-    _np.asarray(jax.device_get(chain(msgs)))
+    tip = jax.jit(lambda m: chain(m)[:1, :1])
+    rtp = jax.jit(lambda i: jnp.full((1,), i, jnp.uint32))
+    # warm BOTH probe programs (an unwarmed slice compile inside the timed
+    # loop once inflated this measurement ~3x)
+    _np.asarray(jax.device_get(tip(msgs)))
+    _np.asarray(jax.device_get(rtp(jnp.uint32(0))))
     t0 = time.time()
     for _ in range(3):
-        _np.asarray(jax.device_get(chain(msgs)[:1]))
-    rt = jnp.zeros((1,), jnp.uint32) + jnp.uint32(1)
+        _np.asarray(jax.device_get(tip(msgs)))
     t_mid = time.time()
-    for _ in range(3):
-        _np.asarray(jax.device_get(rt))
+    for k in range(3):
+        _np.asarray(jax.device_get(rtp(jnp.uint32(k))))
     t_end = time.time()
     round_trip = (t_end - t_mid) / 3
     per_chain = (t_mid - t0) / 3 - round_trip

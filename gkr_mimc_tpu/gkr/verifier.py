@@ -41,7 +41,26 @@ class GKRError(Exception):
     pass
 
 
-_evaluate_jit = jax.jit(multilin.evaluate)
+def _evaluate_hybrid(table, coords):
+    """Multilinear evaluation with the Pallas band-fold kernel for the
+    large head folds (the portable XLA fold materializes 16x outer-product
+    planes — it dominated the verifier's device time at bn=20) and the
+    portable fold for the small tail."""
+    from ..ops import kernels as K
+
+    t = table
+    i = 0
+    bn = coords.shape[0]
+    if K.pallas_enabled():
+        while t.shape[-1] >= 2048 and i < bn:
+            [t] = K.fold_tables_band([t], coords[i], 1, 1)
+            i += 1
+    for j in range(i, bn):
+        t = multilin.fold(t, coords[j])
+    return t[..., 0]
+
+
+_evaluate_jit = jax.jit(_evaluate_hybrid)
 
 _concat_flat = jax.jit(
     lambda *xs: jax.numpy.concatenate(
@@ -119,8 +138,26 @@ def _fetch_leaves(leaves):
 def verify(circuit: Circuit, proof: GKRProof, inputs: list, outputs, qprime) -> None:
     """inputs: list of (16, N) input tables; outputs: (16, N) output table;
     qprime: (bn, 16) Montgomery rows. Raises GKRError if invalid."""
+    import os
+    import sys
+    import time
+
+    trace = os.environ.get("GKR_TRACE_VERIFY") == "1"
+    t0 = time.perf_counter()
     leaves, groups = _build_leaves(circuit, proof, inputs, outputs, qprime)
-    _host_verify(circuit, proof, _fetch_leaves(leaves), groups, len(inputs))
+    if trace:
+        t1 = time.perf_counter()
+    fetched = _fetch_leaves(leaves)
+    if trace:
+        t2 = time.perf_counter()
+    _host_verify(circuit, proof, fetched, groups, len(inputs))
+    if trace:
+        t3 = time.perf_counter()
+        print(
+            f"# verify phases: build+dispatch {1e3*(t1-t0):.0f} ms | "
+            f"device+fetch {1e3*(t2-t1):.0f} ms | host {1e3*(t3-t2):.0f} ms",
+            file=sys.stderr, flush=True,
+        )
 
 
 def _host_verify(circuit: Circuit, proof: GKRProof, out_leaves, groups,

@@ -115,8 +115,29 @@ def mimc_hash_batch(msgs):
 
     Hashes N independent K-element messages (the analog of firing the
     reference's per-hash HashHint over a whole batch at once,
-    prover/gadget/hints.go:135-145 — but as one fused TPU scan pipeline).
+    prover/gadget/hints.go:135-145). On TPU the batch rides the grouped
+    Pallas FS kernel (N lockstep lanes — the 91*K-round chain is ONE
+    kernel instead of a 91*K-step XLA scan of portable field ops, which
+    dominated the verifier's hot path); the portable path is the scan.
     """
+    from ..ops import kernels as K
+
+    n = msgs.shape[2]
+    # cap lanes per kernel call: the (16, N) state block must fit VMEM
+    if K.pallas_enabled() and 0 < n <= 8192:
+        # lane-pad to a vreg multiple; extra lanes hash garbage, dropped
+        pad = (-n) % 128
+        if pad:
+            msgs_p = jnp.pad(msgs, ((0, 0), (0, 0), (0, pad)))
+            return K.mimc_hash_fs_g(msgs_p)[:, :n]
+        return K.mimc_hash_fs_g(msgs)
+    if K.pallas_enabled() and n > 8192:
+        parts = [
+            mimc_hash_batch(msgs[:, :, i : i + 8192])
+            for i in range(0, n, 8192)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
     blocks = jnp.moveaxis(msgs, 1, 0)  # (K, 16, N)
 
     def upd(state, block):

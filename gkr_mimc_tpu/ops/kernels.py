@@ -1350,6 +1350,152 @@ def mimc_hash_fs_g(msgs):
     )(jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), arks_pad, msgs_km)
 
 
+from ..fields.bn254 import P as _BN_P, R1 as _BN_R1, int_to_limbs as _itl
+
+_MONT_ONE = _itl(_BN_R1 % _BN_P)
+
+
+def _gruen_round_kernel(unroll: int):
+    """Fused Gruen round-scalar kernel: builds the round coefficients
+    P_m = (alpha*Q_m + beta*Q_{m-1}) * ck on the fly, hashes them through
+    the 9-word x 91-round Fiat-Shamir chain, and finishes with the next
+    eq prefix ck' = ck * eq1(qk, r) — one kernel instead of ~40 tiny XLA
+    ops per round (the per-round 'glue' of sumcheck/prover.py
+    _gruen_combine/_eq1_at). Same field formulas -> same values mod p ->
+    bit-identical transcripts (proof coeffs are canonicalized on output).
+    """
+    n_steps = MIMC_FS_ROUNDS // unroll
+    n_words = 9
+
+    def _colq(q_ref, idx):
+        # dynamic column select over the 8-coeff axis via mask+reduce
+        v = q_ref[:].astype(jnp.int32)  # (L, 8, G)
+        col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        return jnp.sum(jnp.where(col == idx, v, 0), axis=1).astype(
+            jnp.uint32
+        )  # (L, G)
+
+    def kern(m1_ref, m2_ref, arks_ref, q_ref, al_ref, be_ref, ck_ref,
+             qk_ref, op_ref, or_ref, ock_ref, st_ref, res_ref):
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when((k == 0) & (i == 0))
+        def _():
+            st_ref[:] = jnp.zeros_like(st_ref)
+
+        @pl.when(i == 0)
+        def _():
+            qm = _colq(q_ref, k)
+            qm1 = _colq(q_ref, k - 1)  # k=0 -> zero (mask never matches)
+            p = fc.mul(
+                fc.add(fc.mul(qm, al_ref[:]), fc.mul(qm1, be_ref[:])),
+                ck_ref[:],
+            )
+            op_ref[0] = p
+            res_ref[:] = p
+
+        m1, m2 = m1_ref[:], m2_ref[:]
+        arks = arks_ref[:].astype(jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, arks.shape, 1)
+        res = res_ref[:]
+        st = st_ref[:]
+        for j in range(unroll):
+            ark = jnp.sum(
+                jnp.where(lane == i * unroll + j, arks, 0),
+                axis=1,
+                keepdims=True,
+            ).astype(jnp.uint32)
+            t = fc.add(fc.add(res, st), ark)
+            res = fc.pow7_mxu(t, m1, m2) if _fs_mxu() else fc.pow7_lat(t)
+        res_ref[:] = res
+
+        @pl.when(i == n_steps - 1)
+        def _():
+            block = res_ref[:]  # not used; Miyaguchi uses the ORIGINAL block
+            del block
+            # state' = perm + 2*state + block  (block = this word's P)
+            st2 = fc.add(st, st)
+            # recover the original block: it was stored in res at i==0 and
+            # overwritten — recompute from Q (cheap, once per word)
+            qm = _colq(q_ref, k)
+            qm1 = _colq(q_ref, k - 1)
+            p = fc.mul(
+                fc.add(fc.mul(qm, al_ref[:]), fc.mul(qm1, be_ref[:])),
+                ck_ref[:],
+            )
+            st_ref[:] = fc.add(fc.add(res, st2), p)
+
+        @pl.when((k == n_words - 1) & (i == n_steps - 1))
+        def _():
+            r = st_ref[:]
+            or_ref[:] = r
+            qk = qk_ref[:]
+            # eq1 = 1 - qk - r + 2*qk*r  (same op order as _eq1_at);
+            # 'one' is the Montgomery one (R mod p), as in fields.fr.one
+            one = fc._const_vec(_MONT_ONE, (L,) + (1,) * (qk.ndim - 1))
+            one = jnp.broadcast_to(one, qk.shape)
+            t = fc.mul(qk, r)
+            eq1 = fc.add(fc.sub(fc.sub(one, qk), r), fc.add(t, t))
+            ock_ref[:] = fc.mul(ck_ref[:], eq1)
+
+    return kern
+
+
+@jax.jit
+def gruen_round_scalar(qcoeffs, alpha, beta, ck, qk):
+    """Fused per-round scalar stage: qcoeffs (16, 8, G), scalars (16, G)
+    -> (P (16, 9, G) canonical-lazy coeffs, r (16, G), ck' (16, G))."""
+    from ..hashes.ark import arks_scan_tensor
+
+    g = qcoeffs.shape[2]
+    arks_cols = jnp.moveaxis(arks_scan_tensor(MIMC_FS_ROUNDS), 0, 1)
+    arks_pad = (
+        jnp.zeros((L, 128), dtype=jnp.uint32)
+        .at[:, :MIMC_FS_ROUNDS]
+        .set(arks_cols)
+    )
+    unroll = int(os.environ.get("GKR_FS_UNROLL", "7"))
+    assert MIMC_FS_ROUNDS % unroll == 0
+    outs = pl.pallas_call(
+        _gruen_round_kernel(unroll),
+        out_shape=[
+            jax.ShapeDtypeStruct((9, L, g), jnp.uint32),
+            jax.ShapeDtypeStruct((L, g), jnp.uint32),
+            jax.ShapeDtypeStruct((L, g), jnp.uint32),
+        ],
+        grid=(9, MIMC_FS_ROUNDS // unroll),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 32), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 128), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 8, g), lambda k, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, g), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, g), lambda k, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, g), jnp.uint32),
+            pltpu.VMEM((L, g), jnp.uint32),
+        ],
+    )(
+        jnp.asarray(fc.REDC_M1), jnp.asarray(fc.REDC_M2), arks_pad,
+        qcoeffs, alpha, beta, ck, qk,
+    )
+    p, r, ck2 = outs
+    return jnp.moveaxis(p, 0, 1), r, ck2  # (16, 9, G)
+
+
+def gruen_fuse_enabled() -> bool:
+    return os.environ.get("GKR_GRUEN_FUSE", "1") == "1"
+
+
 # ---------------------------------------------------------------------------
 # Folding
 # ---------------------------------------------------------------------------

@@ -349,18 +349,37 @@ def _prove_gruen_body(gate: Gate, gate_params, xs, qprimes, claims):
     x0 = xs[0].reshape(fr.L, -1)
     x1 = xs[1].reshape(fr.L, -1)
 
+    fold_f = K.fold_tables_band if K.fold_band_enabled() else K.fold_tables_gm
+    fuse = K.gruen_fuse_enabled()
     head_coeffs, head_rs = [], []
     for k in range(n_head):
         s_flat = suffix[k].reshape(fr.L, -1)
         qk = _qk_scalar(q, k)
         acc = K.cipher_gruen_acc(s_flat, x0, x1, ark, g)
         qc = K.finish_gruen_acc(acc)  # (16, 8, G)
-        qc = qc if grouped else qc[..., 0]
-        coeffs = _gruen_combine(qc, qk, ck)
-        r = mimc_hash_device(coeffs)
-        fold_f = K.fold_tables_band if K.fold_band_enabled() else K.fold_tables_gm
+        if fuse:
+            # fused round-scalar stage: coefficients + FS hash + next eq
+            # prefix in ONE kernel (identical field formulas -> identical
+            # transcripts; tests/test_hotpath.py asserts vs the unfused)
+            one = fr.one(qk.shape[1:])
+            alpha = fr.sub(one, qk)
+            beta = fr.sub(fr.add(qk, qk), one)
+            c3, r2, ck2 = K.gruen_round_scalar(
+                qc,
+                alpha.reshape(fr.L, g),
+                beta.reshape(fr.L, g),
+                ck.reshape(fr.L, g),
+                qk.reshape(fr.L, g),
+            )
+            coeffs = c3 if grouped else c3[..., 0]
+            r = r2 if grouped else r2[..., 0]
+            ck = ck2 if grouped else ck2[..., 0]
+        else:
+            qc = qc if grouped else qc[..., 0]
+            coeffs = _gruen_combine(qc, qk, ck)
+            r = mimc_hash_device(coeffs)
+            ck = fr.mul(ck, _eq1_at(qk, r))
         x0, x1 = fold_f([x0, x1], r, 2, g)
-        ck = fr.mul(ck, _eq1_at(qk, r))
         head_coeffs.append(coeffs)
         head_rs.append(r)
 
