@@ -118,7 +118,7 @@ def measure_fs_hash_ms(reps: int = 40) -> float:
             m = jnp.broadcast_to(h[:, None], (16, 9))
         return h
 
-    tip = jax.jit(lambda m: chain(m)[:1, :1])
+    tip = jax.jit(lambda m: chain(m)[:1])
     rtp = jax.jit(lambda i: jnp.full((1,), i, jnp.uint32))
     # warm BOTH probe programs (an unwarmed slice compile inside the timed
     # loop once inflated this measurement ~3x)
@@ -368,7 +368,12 @@ def bench_chunked(bn: int, total_log2: int, verify: bool):
 
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
-    default_bn = 20 if on_tpu else 8
+    # TPU default is the north-star config: ONE bn=22 proof of 2^22 MiMC
+    # hashes (BASELINE.md config 5) via the checkpoint/recompute witness
+    # (~2^24-capacity analog of the reference's pool, poly/pool.go:13-14).
+    # Measured faster than bn=20 single (263k vs 208k hashes/s) AND the
+    # stronger statement.
+    default_bn = 22 if on_tpu else 8
     bn = int(os.environ.get("GKR_BENCH_BN", default_bn))
     n = 1 << bn
     verify = os.environ.get("GKR_BENCH_VERIFY", "1") == "1"
