@@ -122,4 +122,36 @@ def install() -> None:
 
     LRUCache.get = safe_get
     LRUCache.put = safe_put
+
+    # XLA:CPU's executable.serialize() segfaults on the whole-layer
+    # monolith programs (~400 MB serialized) once a test process holds
+    # hundreds of live executables (reproduced at the same stack twice,
+    # jax/_src/compilation_cache.py:265, fresh cache dir — so NOT a
+    # corrupt-entry issue). Deterministic avoidance: never persist those
+    # programs on the CPU backend; they recompile lazily, correctness is
+    # unaffected, and the TPU path (where persistence actually pays) is
+    # untouched.
+    try:
+        from jax._src import compilation_cache as _cc
+
+        orig_put_exe = _cc.put_executable_and_time
+
+        def safe_put_exe(cache_key, module_name, executable, backend,
+                         compile_time):
+            if (
+                os.environ.get("GKR_CACHE_SKIP_CPU_MONOLITH", "1") == "1"
+                and getattr(backend, "platform", "") == "cpu"
+                and "_prove_" in module_name
+            ):
+                return
+            return orig_put_exe(
+                cache_key, module_name, executable, backend, compile_time
+            )
+
+        _cc.put_executable_and_time = safe_put_exe
+        # compiler.py binds the module, not the function, so patching the
+        # module attribute is sufficient
+    except Exception:  # pragma: no cover - jax internals moved
+        logger.warning("cachesafe: put_executable_and_time not patched")
+
     _INSTALLED = True

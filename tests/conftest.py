@@ -46,8 +46,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def _clear_jit_caches_per_module():
     """XLA:CPU intermittently segfaults once hundreds of live compiled
     programs accumulate in one process (observed mid-suite in a fresh
-    compile, never in isolated modules). Dropping the in-memory executable
-    caches between modules keeps the population bounded; the persistent
-    on-disk cache makes the recompiles cheap."""
+    compile — of a TINY program, with 122 GB RAM free — never in isolated
+    modules; the round-5 reproductions put the crash inside
+    backend_compile_and_load and executable.serialize respectively, so it
+    is a live-executable-population bug, not memory pressure or a corrupt
+    cache entry). Dropping the in-memory executable caches around every
+    module keeps the population bounded; the persistent on-disk cache
+    makes the recompiles cheap."""
+    import gc
+
+    def _purge():
+        # module-level jit handles pin their executables past
+        # jax.clear_caches(); drop the library's own caches too
+        try:
+            from gkr_mimc_tpu.sumcheck import prover as _sp
+
+            _sp._ROUND_JIT_CACHE.clear()
+        except Exception:
+            pass
+        jax.clear_caches()
+        gc.collect()
+
+    _purge()
     yield
-    jax.clear_caches()
+    _purge()
