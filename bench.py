@@ -25,7 +25,15 @@ import sys
 import time
 from functools import partial
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gkr_mimc_tpu_jax_cache")
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # CPU AOT cache entries are machine-specific (SIGILL risk across
+        # hosts; see utils/cachesafe.machine_scoped_cpu_cache_dir)
+        from gkr_mimc_tpu.utils.cachesafe import machine_scoped_cpu_cache_dir
+
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = machine_scoped_cpu_cache_dir()
+    else:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/gkr_mimc_tpu_jax_cache"
 
 import jax
 

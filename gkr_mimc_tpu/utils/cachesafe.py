@@ -34,6 +34,25 @@ logger = logging.getLogger(__name__)
 _INSTALLED = False
 
 
+def machine_scoped_cpu_cache_dir(base: str = "/tmp/gkr_mimc_tpu_jax_cache") -> str:
+    """Cache dir for XLA:CPU runs, scoped by the host's CPU feature set:
+    CPU cache entries embed AOT host code and the cache key does NOT cover
+    the feature set, so cross-machine reuse loads with SIGILL-risk
+    warnings and crashes intermittently (round-5 root cause #1)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (l for l in f if l.startswith("flags")), platform.processor()
+            )
+    except OSError:  # pragma: no cover - non-linux
+        flags = platform.processor()
+    tag = hashlib.sha256(str(flags).encode()).hexdigest()[:12]
+    return f"{base}_cpu_{tag}"
+
+
 def _decompressible(val: bytes) -> bool:
     """True iff `val` is a complete zstd or zlib frame (the two formats
     jax.compilation_cache writes). Truncated frames fail both."""

@@ -17,20 +17,9 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 # (the round-3 "poisoned cache" segfaults). TPU entries are unaffected
 # (bench.py keeps the shared dir; TPU code runs on the TPU).
 if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-    import hashlib
-    import platform
+    from gkr_mimc_tpu.utils.cachesafe import machine_scoped_cpu_cache_dir
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next(
-                (l for l in f if l.startswith("flags")), platform.processor()
-            )
-    except OSError:  # pragma: no cover - non-linux
-        flags = platform.processor()
-    tag = hashlib.sha256(str(flags).encode()).hexdigest()[:12]
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = (
-        f"/tmp/gkr_mimc_tpu_jax_cache_cpu_{tag}"
-    )
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = machine_scoped_cpu_cache_dir()
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
