@@ -250,12 +250,14 @@ def verify_grouped(circuit: Circuit, proof: GKRProof, inputs: list, outputs,
     """Verify every instance of a grouped proof: inputs/outputs (16, G, N),
     qprime (bn, G, 16). Raises GKRError naming the failing group.
 
-    All G lanes' device work is dispatched up front and fetched in ONE
-    transfer (the per-lane round trip dominated grouped verification on
-    remote backends); the host math then runs per lane."""
+    All G lanes' device work is dispatched up front, then fetched with ONE
+    transfer PER LANE: every lane's leaf list has identical shapes, so the
+    concat/fetch program (and the per-lane dispatch programs) compile once
+    and are shared with the single-instance verifier at the same size. (An
+    earlier all-lanes concat was a G*n_leaves-arity XLA program whose
+    compile alone dominated the first grouped verify.)"""
     n_groups = qprime.shape[1]
     per_group = []
-    all_leaves = []
     for g in range(n_groups):
         sliced = slice_group(proof, g)
         leaves, groups = _build_leaves(
@@ -265,23 +267,19 @@ def verify_grouped(circuit: Circuit, proof: GKRProof, inputs: list, outputs,
             outputs[:, g],
             qprime[:, g],
         )
-        per_group.append((sliced, groups, len(leaves)))
-        all_leaves.extend(leaves)
+        per_group.append((sliced, groups, leaves))
 
-    out_leaves = _fetch_leaves(all_leaves)
-    off = 0
-    for g, (sliced, groups, n_leaves) in enumerate(per_group):
+    for g, (sliced, groups, leaves) in enumerate(per_group):
         try:
             _host_verify(
                 circuit,
                 sliced,
-                out_leaves[off : off + n_leaves],
+                _fetch_leaves(leaves),
                 groups,
                 len(inputs),
             )
         except GKRError as e:
             raise GKRError(f"group {g}: {e}") from e
-        off += n_leaves
 
 
 def _test_sumcheck(circuit, coeffs_np, claims_int, qprimes_int, chals_int, layer) -> None:

@@ -66,6 +66,8 @@ class CheckpointedAssignment:
         self.stride = stride
         self.n_spans = -(-MIMC_ROUNDS // stride)
         self._ckpt = [None] * self.n_spans
+        self._spans = [None] * self.n_spans
+        self._live = [0] * self.n_spans  # unconsumed rows per filled span
         self._cache: dict = {}
         # forward pass: record span-entry states; keep only the LAST
         # span's tables (the walk consumes tables in descending order)
@@ -83,11 +85,34 @@ class CheckpointedAssignment:
                 del span
 
     def _fill_span(self, i: int):
+        """Materialize span i ONCE as a single (nr, 16, *S) buffer; rows
+        are sliced lazily on consumption. (Slicing every row eagerly kept
+        the span buffer AND nr per-row copies alive together — 13 GB
+        transient at bn=23, the round-5 OOM.) The span-entry checkpoint is
+        freed here (except the last span's, which the output-table re-fill
+        path may need again); the span buffer is freed when its last row
+        is popped."""
         r0 = i * self.stride
         nr = min(self.stride, MIMC_ROUNDS - r0)
         span = _witness_span(self.block, self._ckpt[i], r0, nr)
+        self._spans[i] = span
+        self._live[i] = nr
         for r in range(nr):
-            self._cache[3 + r0 + r] = span[r]
+            self._cache[3 + r0 + r] = (i, r)
+        if i == self.n_spans - 1:
+            # pin the output table (the verifier consumes it after the
+            # walk; every other row is consumed exactly once)
+            self._cache[3 + r0 + nr - 1] = span[nr - 1]
+            self._live[i] -= 1
+        else:
+            self._ckpt[i] = None
+
+    def _take(self, i: int, r: int):
+        row = self._spans[i][r]
+        self._live[i] -= 1
+        if self._live[i] <= 0:
+            self._spans[i] = None
+        return row
 
     def __len__(self):
         return MIMC_ROUNDS + 3
@@ -106,4 +131,6 @@ class CheckpointedAssignment:
         if t is None:
             self._fill_span((j - 3) // self.stride)
             t = self._cache.pop(j)
+        if isinstance(t, tuple):
+            t = self._take(*t)
         return t
