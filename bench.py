@@ -376,12 +376,15 @@ def bench_chunked(bn: int, total_log2: int, verify: bool):
 
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
-    # TPU default is the north-star config: ONE bn=22 proof of 2^22 MiMC
-    # hashes (BASELINE.md config 5) via the checkpoint/recompute witness
-    # (~2^24-capacity analog of the reference's pool, poly/pool.go:13-14).
-    # Measured faster than bn=20 single (263k vs 208k hashes/s) AND the
-    # stronger statement.
-    default_bn = 22 if on_tpu else 8
+    # TPU default: ONE bn=23 proof of 2^23 MiMC hashes — a superset of the
+    # north-star config (BASELINE.md config 5 is 2^22) via the
+    # checkpoint/recompute witness (~2^24-capacity analog of the
+    # reference's pool, poly/pool.go:13-14). Bigger proofs amortize the
+    # per-layer Fiat-Shamir latency floor over more hashes: measured 208k
+    # (bn=20) -> 263k (bn=22) -> 283k hashes/s (bn=23); bn=24 would need
+    # ~20 GB of span+checkpoint residency (> 16 GB HBM) under the
+    # single-level checkpoint scheme.
+    default_bn = 23 if on_tpu else 8
     bn = int(os.environ.get("GKR_BENCH_BN", default_bn))
     n = 1 << bn
     verify = os.environ.get("GKR_BENCH_VERIFY", "1") == "1"
